@@ -1,0 +1,352 @@
+"""Whisper encoder/decoder as pure JAX functions over pytree params.
+
+The reference runs this model inside the external ``mlx_whisper`` package
+(C++/Metal MLX graphs — SURVEY.md §2.1); here it is a TPU-first design:
+
+- **pure functions + pytree params** — everything jit/pjit-able, no module
+  framework in the hot path;
+- **NWC conv layout** for the encoder stem (XLA's native TPU conv layout);
+- **static shapes everywhere**: 30 s window → (3000, n_mels) mel → 1500
+  encoder frames → ≤448 decoder positions, preallocated KV caches updated
+  with ``dynamic_update_slice`` inside ``lax.while_loop`` decode;
+- **bf16 compute / fp32 accumulate** by default on TPU (MXU-native), with an
+  fp32 parity mode for golden-token tests;
+- cross-attention probabilities for word-timestamp DTW are exported only for
+  the alignment heads, gathered inside the jitted step (SURVEY.md §7).
+
+Architecture facts (conv stem kernel 3 / stride 2, pre-LN blocks, no bias on
+key projections, q/k scaled by ``head_dim**-0.25`` each, tied embedding
+output head, sinusoidal encoder + learned decoder positions) follow the
+public Whisper model family; dims per size in :data:`WHISPER_CONFIGS`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Params = dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class WhisperConfig:
+    n_mels: int = 80
+    n_vocab: int = 51865
+    n_audio_ctx: int = 1500
+    n_audio_state: int = 384
+    n_audio_head: int = 6
+    n_audio_layer: int = 4
+    n_text_ctx: int = 448
+    n_text_state: int = 384
+    n_text_head: int = 6
+    n_text_layer: int = 4
+    # compute dtype: bf16 rides the MXU; fp32 is the parity/testing mode
+    dtype: Any = jnp.float32
+
+    @property
+    def head_dim(self) -> int:
+        return self.n_audio_state // self.n_audio_head
+
+
+# Official model family dims. large-v3 widens the mel frontend to 128 bands
+# (the checkpoint the reference serves — reference ``run:4``); turbo shrinks
+# the decoder to 4 layers.
+WHISPER_CONFIGS: dict[str, WhisperConfig] = {
+    "tiny": WhisperConfig(),
+    "base": WhisperConfig(n_audio_state=512, n_audio_head=8, n_audio_layer=6,
+                          n_text_state=512, n_text_head=8, n_text_layer=6),
+    "small": WhisperConfig(n_audio_state=768, n_audio_head=12, n_audio_layer=12,
+                           n_text_state=768, n_text_head=12, n_text_layer=12),
+    "medium": WhisperConfig(n_audio_state=1024, n_audio_head=16, n_audio_layer=24,
+                            n_text_state=1024, n_text_head=16, n_text_layer=24),
+    "large-v1": WhisperConfig(n_audio_state=1280, n_audio_head=20, n_audio_layer=32,
+                              n_text_state=1280, n_text_head=20, n_text_layer=32),
+    "large-v2": WhisperConfig(n_audio_state=1280, n_audio_head=20, n_audio_layer=32,
+                              n_text_state=1280, n_text_head=20, n_text_layer=32),
+    "large-v3": WhisperConfig(n_mels=128, n_vocab=51866,
+                              n_audio_state=1280, n_audio_head=20, n_audio_layer=32,
+                              n_text_state=1280, n_text_head=20, n_text_layer=32),
+    "large-v3-turbo": WhisperConfig(n_mels=128, n_vocab=51866,
+                                    n_audio_state=1280, n_audio_head=20, n_audio_layer=32,
+                                    n_text_state=1280, n_text_head=20, n_text_layer=4),
+}
+
+
+def sinusoids(length: int, channels: int, max_timescale: float = 10_000.0) -> np.ndarray:
+    """Sinusoidal position embedding for the encoder (sin ‖ cos halves)."""
+    assert channels % 2 == 0
+    log_inc = math.log(max_timescale) / (channels // 2 - 1)
+    inv = np.exp(-log_inc * np.arange(channels // 2))
+    t = np.arange(length)[:, None] * inv[None, :]
+    return np.concatenate([np.sin(t), np.cos(t)], axis=1).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# primitive layers (pure functions)
+# ---------------------------------------------------------------------------
+
+
+def layer_norm(x: jnp.ndarray, p: Params, eps: float = 1e-5) -> jnp.ndarray:
+    # LN in ≥fp32 regardless of compute dtype: cheap, and keeps parity.
+    x32 = x.astype(jnp.promote_types(x.dtype, jnp.float32))
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.var(x32, axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    return (y * p["g"] + p["b"]).astype(x.dtype)
+
+
+def linear(x: jnp.ndarray, p: Params) -> jnp.ndarray:
+    y = x @ p["w"].astype(x.dtype)
+    if "b" in p:
+        y = y + p["b"].astype(x.dtype)
+    return y
+
+
+def conv1d_nwc(x: jnp.ndarray, p: Params, stride: int) -> jnp.ndarray:
+    """1-D conv in (batch, time, channels) layout, SAME-style padding=1, k=3."""
+    y = jax.lax.conv_general_dilated(
+        x,
+        p["w"].astype(x.dtype),  # (k, in, out)
+        window_strides=(stride,),
+        padding=((1, 1),),
+        dimension_numbers=("NWC", "WIO", "NWC"),
+    )
+    return y + p["b"].astype(x.dtype)
+
+
+def _split_heads(x: jnp.ndarray, n_head: int) -> jnp.ndarray:
+    b, t, d = x.shape
+    return x.reshape(b, t, n_head, d // n_head).transpose(0, 2, 1, 3)
+
+
+def _merge_heads(x: jnp.ndarray) -> jnp.ndarray:
+    b, h, t, hd = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, t, h * hd)
+
+
+def attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    mask: jnp.ndarray | None = None,
+    return_weights: bool = False,
+):
+    """Multi-head SDPA over (batch, heads, time, head_dim) tensors.
+
+    q/k each scaled by ``head_dim**-0.25``; softmax in fp32. This is the XLA
+    path — XLA fuses the QK^T → softmax → PV chain well for these sizes; the
+    Pallas flash kernel (ops/flash_attention.py) takes over for long-context
+    LLM serving where the T×T score tensor would spill VMEM.
+    """
+    scale = q.shape[-1] ** -0.25
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k * scale)
+    scores = scores.astype(jnp.promote_types(scores.dtype, jnp.float32))
+    if mask is not None:
+        scores = scores + mask
+    w = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bhqk,bhkd->bhqd", w.astype(v.dtype), v)
+    return (out, w) if return_weights else (out, None)
+
+
+def mha(
+    x: jnp.ndarray,
+    kv_source: jnp.ndarray,
+    p: Params,
+    n_head: int,
+    mask: jnp.ndarray | None = None,
+    return_weights: bool = False,
+):
+    q = _split_heads(linear(x, p["q"]), n_head)
+    k = _split_heads(linear(kv_source, p["k"]), n_head)
+    v = _split_heads(linear(kv_source, p["v"]), n_head)
+    out, w = attention(q, k, v, mask, return_weights)
+    return linear(_merge_heads(out), p["o"]), w
+
+
+def mlp(x: jnp.ndarray, p: Params) -> jnp.ndarray:
+    return linear(jax.nn.gelu(linear(x, p["fc1"]), approximate=False), p["fc2"])
+
+
+# ---------------------------------------------------------------------------
+# encoder
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("config",))
+def encode(params: Params, mel: jnp.ndarray, config: WhisperConfig) -> jnp.ndarray:
+    """mel (batch, 3000, n_mels) → encoder states (batch, 1500, d)."""
+    p = params["encoder"]
+    x = mel.astype(config.dtype)
+    x = jax.nn.gelu(conv1d_nwc(x, p["conv1"], stride=1), approximate=False)
+    x = jax.nn.gelu(conv1d_nwc(x, p["conv2"], stride=2), approximate=False)
+    # Positions come from params (checkpoints ship the sinusoid table; exact
+    # float32 argument rounding differs ~1e-4 from recomputation, which would
+    # break golden-token parity).
+    x = x + p["pos_emb"].astype(x.dtype)
+    for blk in p["blocks"]:
+        h = layer_norm(x, blk["attn_ln"])
+        attn_out, _ = mha(h, h, blk["attn"], config.n_audio_head)
+        x = x + attn_out
+        x = x + mlp(layer_norm(x, blk["mlp_ln"]), blk["mlp"])
+    return layer_norm(x, p["ln_post"])
+
+
+# ---------------------------------------------------------------------------
+# decoder
+# ---------------------------------------------------------------------------
+
+
+def cross_kv(params: Params, audio_states: jnp.ndarray, config: WhisperConfig) -> list[Params]:
+    """Precompute per-layer cross-attention K/V once per window.
+
+    The reference's MLX decoder recomputes K/V lazily per layer; on TPU we
+    hoist it out of the token loop entirely — it is a pure function of the
+    encoder output.
+    """
+    out = []
+    for blk in params["decoder"]["blocks"]:
+        k = _split_heads(linear(audio_states, blk["cross_attn"]["k"]), config.n_text_head)
+        v = _split_heads(linear(audio_states, blk["cross_attn"]["v"]), config.n_text_head)
+        out.append({"k": k, "v": v})
+    return out
+
+
+def init_kv_cache(config: WhisperConfig, batch: int, dtype=None) -> list[Params]:
+    """Preallocated self-attention KV cache (static shapes for while_loop)."""
+    dtype = dtype or config.dtype
+    hd = config.n_text_state // config.n_text_head
+    shape = (batch, config.n_text_head, config.n_text_ctx, hd)
+    return [
+        {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+        for _ in range(config.n_text_layer)
+    ]
+
+
+def decode_step(
+    params: Params,
+    tokens: jnp.ndarray,  # (batch, t) token ids for these positions
+    pos: jnp.ndarray,  # scalar: first position index of `tokens`
+    kv_cache: list[Params],
+    xkv: list[Params],
+    config: WhisperConfig,
+    collect_cross_attn: bool = False,
+):
+    """Run the decoder on ``tokens`` starting at position ``pos``.
+
+    Works both for the prompt prefill (t = prompt length) and the incremental
+    step (t = 1). Returns logits for the last position of each sequence plus
+    the updated cache; optionally the full cross-attention weights stacked as
+    (layers, batch, heads, t, 1500) for DTW alignment.
+    """
+    p = params["decoder"]
+    b, t = tokens.shape
+    x = p["token_emb"].astype(config.dtype)[tokens]
+    x = x + jax.lax.dynamic_slice_in_dim(
+        p["pos_emb"].astype(config.dtype), pos, t, axis=0
+    )
+
+    # causal mask offset by cache position: queries at [pos, pos+t) may attend
+    # keys at [0, pos + q_idx].
+    q_idx = jnp.arange(t)[:, None] + pos
+    k_idx = jnp.arange(config.n_text_ctx)[None, :]
+    mask = jnp.where(k_idx <= q_idx, 0.0, -jnp.inf)
+
+    new_cache = []
+    cross_weights = []
+    for i, blk in enumerate(p["blocks"]):
+        h = layer_norm(x, blk["attn_ln"])
+        q = _split_heads(linear(h, blk["attn"]["q"]), config.n_text_head)
+        k_new = _split_heads(linear(h, blk["attn"]["k"]), config.n_text_head)
+        v_new = _split_heads(linear(h, blk["attn"]["v"]), config.n_text_head)
+        k = jax.lax.dynamic_update_slice_in_dim(kv_cache[i]["k"], k_new, pos, axis=2)
+        v = jax.lax.dynamic_update_slice_in_dim(kv_cache[i]["v"], v_new, pos, axis=2)
+        new_cache.append({"k": k, "v": v})
+        attn_out, _ = attention(q, k, v, mask)
+        x = x + linear(_merge_heads(attn_out), blk["attn"]["o"])
+
+        h = layer_norm(x, blk["cross_attn_ln"])
+        qx = _split_heads(linear(h, blk["cross_attn"]["q"]), config.n_text_head)
+        cross_out, cw = attention(qx, xkv[i]["k"], xkv[i]["v"],
+                                  return_weights=collect_cross_attn)
+        x = x + linear(_merge_heads(cross_out), blk["cross_attn"]["o"])
+        if collect_cross_attn:
+            cross_weights.append(cw)
+
+        x = x + mlp(layer_norm(x, blk["mlp_ln"]), blk["mlp"])
+
+    x = layer_norm(x, p["ln"])
+    logits = jnp.einsum("btd,vd->btv", x, p["token_emb"].astype(config.dtype))
+    logits = logits.astype(jnp.promote_types(logits.dtype, jnp.float32))
+    cross = jnp.stack(cross_weights) if collect_cross_attn else None
+    return logits, new_cache, cross
+
+
+# ---------------------------------------------------------------------------
+# initialization (for tests / benchmarks; real weights come from checkpoint/)
+# ---------------------------------------------------------------------------
+
+
+def init_params(config: WhisperConfig, seed: int = 0, dtype=jnp.float32) -> Params:
+    """Random params with the exact pytree structure the loaders produce."""
+    rng = np.random.default_rng(seed)
+
+    def dense(n_in, n_out, bias=True):
+        p = {"w": (rng.standard_normal((n_in, n_out)) / math.sqrt(n_in)).astype(np.float32)}
+        if bias:
+            p["b"] = np.zeros(n_out, np.float32)
+        return p
+
+    def ln(d):
+        return {"g": np.ones(d, np.float32), "b": np.zeros(d, np.float32)}
+
+    def attn_block(d, cross=False):
+        return {
+            "q": dense(d, d),
+            "k": dense(d, d, bias=False),
+            "v": dense(d, d),
+            "o": dense(d, d),
+        }
+
+    def enc_block(d):
+        return {
+            "attn_ln": ln(d),
+            "attn": attn_block(d),
+            "mlp_ln": ln(d),
+            "mlp": {"fc1": dense(d, 4 * d), "fc2": dense(4 * d, d)},
+        }
+
+    def dec_block(d):
+        blk = enc_block(d)
+        blk["cross_attn_ln"] = ln(d)
+        blk["cross_attn"] = attn_block(d, cross=True)
+        return blk
+
+    d_a, d_t = config.n_audio_state, config.n_text_state
+    params: Params = {
+        "encoder": {
+            "conv1": {
+                "w": (rng.standard_normal((3, config.n_mels, d_a)) / math.sqrt(3 * config.n_mels)).astype(np.float32),
+                "b": np.zeros(d_a, np.float32),
+            },
+            "conv2": {
+                "w": (rng.standard_normal((3, d_a, d_a)) / math.sqrt(3 * d_a)).astype(np.float32),
+                "b": np.zeros(d_a, np.float32),
+            },
+            "pos_emb": sinusoids(config.n_audio_ctx, d_a),
+            "blocks": [enc_block(d_a) for _ in range(config.n_audio_layer)],
+            "ln_post": ln(d_a),
+        },
+        "decoder": {
+            "token_emb": (rng.standard_normal((config.n_vocab, d_t)) * 0.02).astype(np.float32),
+            "pos_emb": (rng.standard_normal((config.n_text_ctx, d_t)) * 0.02).astype(np.float32),
+            "blocks": [dec_block(d_t) for _ in range(config.n_text_layer)],
+            "ln": ln(d_t),
+        },
+    }
+    return jax.tree.map(lambda a: jnp.asarray(a, dtype), params)
