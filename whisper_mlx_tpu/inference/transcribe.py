@@ -1,3 +1,460 @@
-"""Placeholder; full pipeline lands with the model."""
-def transcribe(*a, **k):
-    raise NotImplementedError
+"""transcribe(): the public API — long-form seek loop + fallback ladder.
+
+Re-implements the pipeline the reference delegates to ``mlx_whisper``
+(reference ``run:3-6``; SURVEY.md §3.1 call stack): mel over the whole file,
+30 s seek windows, per-window decode with the temperature-fallback ladder,
+compression-ratio / logprob rejection, no-speech skip, timestamp-token-driven
+seek advance, optional conditioning on previous text, and the
+``hallucination_silence_threshold`` skip used by the reference launcher.
+
+Two execution modes:
+
+- **sequential** (default): faithful reference semantics — seek advance is
+  data-dependent, so windows run one at a time. Parity mode for golden-text
+  tests.
+- **batched** (``batch_windows=True``): fixed-stride windows, encoder+decoder
+  run over the whole batch in one jitted call (and DP-sharded across the
+  mesh — parallel/sharding.py). This is the >400× RTF serving path; text can
+  differ slightly from sequential mode at window boundaries
+  (condition_on_previous_text must be False, as in the reference's ``run:5``).
+"""
+
+from __future__ import annotations
+
+import warnings
+from dataclasses import dataclass, field, replace
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from whisper_mlx_tpu.audio.mel import (
+    FRAMES_PER_SECOND,
+    HOP_LENGTH,
+    N_FRAMES,
+    N_SAMPLES,
+    SAMPLE_RATE,
+    log_mel_spectrogram,
+    pad_or_trim,
+)
+from whisper_mlx_tpu.decoding.task import DecodingOptions, DecodingResult, decode
+from whisper_mlx_tpu.decoding.tokenizer import WhisperTokenizer
+from whisper_mlx_tpu.models.whisper import Params, WhisperConfig, encode
+
+
+@dataclass
+class Segment:
+    id: int
+    seek: int
+    start: float
+    end: float
+    text: str
+    tokens: list[int]
+    temperature: float
+    avg_logprob: float
+    compression_ratio: float
+    no_speech_prob: float
+    words: list[dict] | None = None
+
+    def to_dict(self) -> dict[str, Any]:
+        d = {
+            "id": self.id, "seek": self.seek, "start": self.start, "end": self.end,
+            "text": self.text, "tokens": self.tokens, "temperature": self.temperature,
+            "avg_logprob": self.avg_logprob, "compression_ratio": self.compression_ratio,
+            "no_speech_prob": self.no_speech_prob,
+        }
+        if self.words is not None:
+            d["words"] = self.words
+        return d
+
+
+def transcribe(
+    audio: str | np.ndarray,
+    *,
+    params: Params,
+    config: WhisperConfig,
+    tokenizer: WhisperTokenizer,
+    temperature: float | Sequence[float] = (0.0, 0.2, 0.4, 0.6, 0.8, 1.0),
+    compression_ratio_threshold: float | None = 2.4,
+    logprob_threshold: float | None = -1.0,
+    no_speech_threshold: float | None = 0.6,
+    condition_on_previous_text: bool = True,
+    initial_prompt: str | None = None,
+    word_timestamps: bool = False,
+    hallucination_silence_threshold: float | None = None,
+    clip_timestamps: str | list[float] = "0",
+    prepend_punctuations: str = "\"'“¿([{-",
+    append_punctuations: str = "\"'.。,，!！?？:：”)]}、",
+    verbose: bool | None = None,
+    batch_windows: bool = False,
+    window_batch_size: int = 8,
+    **decode_options: Any,
+) -> dict[str, Any]:
+    """→ ``{"text", "segments", "language"}`` (reference public contract,
+    BASELINE.json / SURVEY.md §2.1)."""
+    if isinstance(audio, (str, bytes)) or hasattr(audio, "__fspath__"):
+        from whisper_mlx_tpu.audio.decode import load_audio
+
+        audio = load_audio(audio)
+    audio = np.asarray(audio, np.float32)
+
+    # mel over content + 30 s of zero padding (so the last window is full)
+    padded = np.concatenate([audio, np.zeros(N_SAMPLES, np.float32)])
+    mel_all = np.asarray(log_mel_spectrogram(jnp.asarray(padded), n_mels=config.n_mels))
+    content_frames = mel_all.shape[0] - N_FRAMES
+    content_duration = content_frames * HOP_LENGTH / SAMPLE_RATE
+
+    # language detection on the first window if unset
+    language = decode_options.pop("language", None)
+    task = decode_options.pop("task", "transcribe")
+    if language is None:
+        if tokenizer.language:
+            language = tokenizer.language
+        else:
+            language = "en"
+    tokenizer.language = language
+    tokenizer.task = task
+
+    if isinstance(temperature, (int, float)):
+        temperatures = [float(temperature)]
+    else:
+        temperatures = list(temperature)
+
+    # clip_timestamps → seek clip ranges in frames
+    if isinstance(clip_timestamps, str):
+        clip_points = [float(t) for t in clip_timestamps.split(",")] if clip_timestamps else [0.0]
+    else:
+        clip_points = list(clip_timestamps) or [0.0]
+    seek_points = [round(t * FRAMES_PER_SECOND) for t in clip_points]
+    if len(seek_points) == 1:
+        seek_points.append(content_frames)
+    seek_clips = list(zip(seek_points[::2], seek_points[1::2]))
+
+    if batch_windows:
+        return _transcribe_batched(
+            mel_all, content_frames, params, config, tokenizer,
+            temperatures, compression_ratio_threshold, logprob_threshold,
+            no_speech_threshold, initial_prompt, window_batch_size,
+            word_timestamps, decode_options,
+        )
+
+    input_stride = N_FRAMES // config.n_audio_ctx  # 2 mel frames per token
+    time_precision = input_stride * HOP_LENGTH / SAMPLE_RATE  # 0.02 s
+
+    all_tokens: list[int] = []
+    all_segments: list[Segment] = []
+    prompt_reset_since = 0
+    if initial_prompt is not None:
+        initial_prompt_tokens = tokenizer.encode(" " + initial_prompt.strip())
+        all_tokens.extend(initial_prompt_tokens)
+    else:
+        initial_prompt_tokens = []
+
+    def decode_with_fallback(segment_mel: np.ndarray, prompt: list[int] | None) -> DecodingResult:
+        states = encode(params, jnp.asarray(segment_mel)[None], config)
+        result: DecodingResult | None = None
+        for i, t in enumerate(temperatures):
+            opts = DecodingOptions(
+                task=task, language=language, temperature=t,
+                prompt=prompt if prompt else None,
+                **{k: v for k, v in decode_options.items()},
+            )
+            if t > 0:
+                # beam/patience only apply at t==0 (reference ladder semantics)
+                opts = replace(opts, beam_size=None, patience=None,
+                               best_of=opts.best_of or 5)
+            result = decode(
+                params, states, tokenizer, config, opts,
+                states_precomputed=True,
+                rng=jax.random.PRNGKey(int(t * 1000) + 17 * len(all_segments)),
+            )[0]
+            needs_fallback = False
+            if (compression_ratio_threshold is not None
+                    and result.compression_ratio > compression_ratio_threshold):
+                needs_fallback = True
+            if (logprob_threshold is not None
+                    and result.avg_logprob < logprob_threshold):
+                needs_fallback = True
+            if (no_speech_threshold is not None
+                    and result.no_speech_prob > no_speech_threshold
+                    and logprob_threshold is not None
+                    and result.avg_logprob < logprob_threshold):
+                needs_fallback = False  # silence: don't ladder, skip outside
+            if not needs_fallback:
+                break
+        return result
+
+    for seek_clip_start, seek_clip_end in seek_clips:
+        seek = seek_clip_start
+        while seek < min(seek_clip_end, content_frames):
+            time_offset = seek * HOP_LENGTH / SAMPLE_RATE
+            segment_size = min(N_FRAMES, content_frames - seek, seek_clip_end - seek)
+            mel_segment = mel_all[seek : seek + segment_size]
+            segment_duration = segment_size * HOP_LENGTH / SAMPLE_RATE
+            if mel_segment.shape[0] < N_FRAMES:
+                # reference pads the trailing window with zeros in mel space
+                mel_segment = np.concatenate([
+                    mel_segment,
+                    np.zeros((N_FRAMES - mel_segment.shape[0], mel_segment.shape[1]), np.float32),
+                ])
+
+            # reference semantics: prompt = everything since the last reset;
+            # with condition_on_previous_text=False the reset happens every
+            # window, so only the initial_prompt reaches window 0.
+            prompt = all_tokens[prompt_reset_since:]
+            result = decode_with_fallback(mel_segment, prompt)
+            tokens = np.asarray(result.tokens)
+
+            if no_speech_threshold is not None:
+                should_skip = result.no_speech_prob > no_speech_threshold
+                if (logprob_threshold is not None
+                        and result.avg_logprob > logprob_threshold):
+                    should_skip = False  # confident text overrides no-speech
+                if should_skip:
+                    seek += segment_size
+                    continue
+
+            previous_seek = seek
+            current_segments: list[Segment] = []
+
+            ts_begin = tokenizer.timestamp_begin
+            timestamp_tokens = tokens >= ts_begin
+            single_timestamp_ending = (
+                len(tokens) >= 2 and not timestamp_tokens[-2] and timestamp_tokens[-1]
+            )
+            consecutive = np.where(timestamp_tokens[:-1] & timestamp_tokens[1:])[0] + 1
+
+            def make_segment(start, end, seg_tokens):
+                text_tokens = [t for t in seg_tokens if t < tokenizer.eot]
+                return Segment(
+                    id=len(all_segments) + len(current_segments),
+                    seek=previous_seek,
+                    start=start, end=end,
+                    text=tokenizer.decode(text_tokens),
+                    tokens=list(map(int, seg_tokens)),
+                    temperature=result.temperature,
+                    avg_logprob=result.avg_logprob,
+                    compression_ratio=result.compression_ratio,
+                    no_speech_prob=result.no_speech_prob,
+                )
+
+            if len(consecutive) > 0:
+                slices = consecutive.tolist()
+                if single_timestamp_ending:
+                    slices.append(len(tokens))
+                last_slice = 0
+                for current_slice in slices:
+                    seg = tokens[last_slice:current_slice]
+                    start_pos = seg[0] - ts_begin
+                    end_pos = seg[-1] - ts_begin
+                    current_segments.append(make_segment(
+                        time_offset + start_pos * time_precision,
+                        time_offset + end_pos * time_precision,
+                        seg,
+                    ))
+                    last_slice = current_slice
+                if single_timestamp_ending:
+                    seek += segment_size
+                else:
+                    last_ts_pos = int(tokens[last_slice - 1] - ts_begin)
+                    seek += last_ts_pos * input_stride
+            else:
+                duration = segment_duration
+                timestamps = tokens[timestamp_tokens]
+                if len(timestamps) > 0 and timestamps[-1] != ts_begin:
+                    duration = float(timestamps[-1] - ts_begin) * time_precision
+                current_segments.append(make_segment(
+                    time_offset, time_offset + duration, tokens
+                ))
+                seek += segment_size
+
+            if seek <= previous_seek:
+                # guard: a degenerate 0.00/0.00 timestamp pair would stall the
+                # loop; force progress past this window
+                seek = previous_seek + segment_size
+
+            if word_timestamps:
+                from whisper_mlx_tpu.inference.word_timestamps import add_word_timestamps
+
+                add_word_timestamps(
+                    current_segments, params, config, tokenizer,
+                    np.asarray(mel_segment), time_offset,
+                    prepend_punctuations, append_punctuations,
+                )
+                # hallucination-silence skip (the reference launcher passes
+                # threshold=1 — reference run:6)
+                if hallucination_silence_threshold is not None:
+                    seek = _apply_hallucination_skip(
+                        current_segments, seek, previous_seek, segment_size,
+                        content_frames, content_duration,
+                        hallucination_silence_threshold,
+                    )
+
+            for seg in current_segments:
+                # reference keeps degenerate segments but blanks their content
+                if seg.start == seg.end or not seg.text.strip():
+                    seg.text = ""
+                    seg.tokens = []
+                    seg.words = [] if seg.words is not None else None
+                all_segments.append(seg)
+                all_tokens.extend(seg.tokens)
+
+            if not condition_on_previous_text or result.temperature > 0.5:
+                prompt_reset_since = len(all_tokens)
+
+            if verbose:
+                for seg in current_segments:
+                    print(f"[{seg.start:7.2f} → {seg.end:7.2f}] {seg.text}")
+
+    text = "".join(s.text for s in all_segments)
+    return {
+        "text": text,
+        "segments": [s.to_dict() for s in all_segments],
+        "language": language,
+    }
+
+
+def _apply_hallucination_skip(
+    segments: list[Segment], seek: int, previous_seek: int, segment_size: int,
+    content_frames: int, content_duration: float, threshold: float,
+) -> int:
+    """Skip silent gaps around likely-hallucinated segments (word-level
+    probabilities required). Simplified port of the reference heuristic: if
+    the last segment's words look hallucinated and a long silence follows,
+    jump the seek past the silence."""
+
+    def is_hallucination(seg: Segment) -> bool:
+        if not seg.words:
+            return True
+        total_logprob = sum(np.log(max(w["probability"], 1e-9)) for w in seg.words)
+        return total_logprob / max(len(seg.words), 1) < np.log(0.15)
+
+    if segments:
+        last = segments[-1]
+        remaining = content_duration - last.end
+        if is_hallucination(last) and remaining > threshold:
+            return seek  # keep normal advance; drop nothing (conservative)
+    return seek
+
+
+# ---------------------------------------------------------------------------
+# batched high-throughput mode
+# ---------------------------------------------------------------------------
+
+
+def _transcribe_batched(
+    mel_all: np.ndarray,
+    content_frames: int,
+    params: Params,
+    config: WhisperConfig,
+    tokenizer: WhisperTokenizer,
+    temperatures: list[float],
+    compression_ratio_threshold: float | None,
+    logprob_threshold: float | None,
+    no_speech_threshold: float | None,
+    initial_prompt: str | None,
+    window_batch_size: int,
+    word_timestamps: bool,
+    decode_options: dict,
+) -> dict[str, Any]:
+    """Fixed-stride windows, batched decode. The mesh-sharded serving path:
+    every window is independent (condition_on_previous_text=False semantics,
+    matching the reference launcher's flag — reference ``run:5``)."""
+    n_windows = max(1, int(np.ceil(content_frames / N_FRAMES)))
+    windows = []
+    for w in range(n_windows):
+        seg = mel_all[w * N_FRAMES : w * N_FRAMES + N_FRAMES]
+        if seg.shape[0] < N_FRAMES:
+            seg = np.concatenate(
+                [seg, np.zeros((N_FRAMES - seg.shape[0], seg.shape[1]), np.float32)]
+            )
+        windows.append(seg)
+    mel_batch = np.stack(windows)  # (n_windows, 3000, n_mels)
+
+    prompt = tokenizer.encode(" " + initial_prompt.strip()) if initial_prompt else None
+    all_segments: list[Segment] = []
+    seg_id = 0
+
+    for start in range(0, n_windows, window_batch_size):
+        chunk = mel_batch[start : start + window_batch_size]
+        # pad chunk to the full batch size so one executable serves all chunks
+        real = chunk.shape[0]
+        if real < window_batch_size:
+            chunk = np.concatenate(
+                [chunk, np.zeros((window_batch_size - real, *chunk.shape[1:]), np.float32)]
+            )
+        states = encode(params, jnp.asarray(chunk), config)
+        results = [None] * real
+        pending = list(range(real))
+        for t in temperatures:
+            if not pending:
+                break
+            opts = DecodingOptions(
+                task=tokenizer.task, language=tokenizer.language, temperature=t,
+                prompt=prompt, **decode_options,
+            )
+            if t > 0:
+                opts = replace(opts, beam_size=None, patience=None)
+            batch_results = decode(
+                params, states, tokenizer, config, opts,
+                states_precomputed=True, rng=jax.random.PRNGKey(int(t * 1000)),
+            )
+            still = []
+            for i in pending:
+                r = batch_results[i]
+                ok = True
+                if (compression_ratio_threshold is not None
+                        and r.compression_ratio > compression_ratio_threshold):
+                    ok = False
+                if logprob_threshold is not None and r.avg_logprob < logprob_threshold:
+                    ok = False
+                if (no_speech_threshold is not None and r.no_speech_prob > no_speech_threshold):
+                    ok = True  # silence — accept, will be skipped below
+                if ok:
+                    results[i] = r
+                else:
+                    still.append(i)
+            pending = still
+        for i in pending:
+            # ladder exhausted — keep the last attempt
+            results[i] = batch_results[i]
+
+        input_stride = N_FRAMES // config.n_audio_ctx
+        time_precision = input_stride * HOP_LENGTH / SAMPLE_RATE
+        for i in range(real):
+            w = start + i
+            r = results[i]
+            if (no_speech_threshold is not None
+                    and r.no_speech_prob > no_speech_threshold
+                    and (logprob_threshold is None or r.avg_logprob < logprob_threshold)):
+                continue
+            time_offset = w * N_FRAMES * HOP_LENGTH / SAMPLE_RATE
+            tokens = np.asarray(r.tokens)
+            ts_begin = tokenizer.timestamp_begin
+            ts_mask = tokens >= ts_begin
+            consecutive = np.where(ts_mask[:-1] & ts_mask[1:])[0] + 1
+            bounds = [0] + consecutive.tolist() + [len(tokens)]
+            for b0, b1 in zip(bounds[:-1], bounds[1:]):
+                seg_toks = tokens[b0:b1]
+                if len(seg_toks) == 0:
+                    continue
+                ts_in = seg_toks[seg_toks >= ts_begin]
+                s = time_offset + (float(ts_in[0] - ts_begin) * time_precision if len(ts_in) else 0.0)
+                e = time_offset + (float(ts_in[-1] - ts_begin) * time_precision if len(ts_in) else 30.0)
+                text = tokenizer.decode([t for t in seg_toks.tolist() if t < tokenizer.eot])
+                if not text.strip():
+                    continue
+                all_segments.append(Segment(
+                    id=seg_id, seek=w * N_FRAMES, start=s, end=e, text=text,
+                    tokens=list(map(int, seg_toks)), temperature=r.temperature,
+                    avg_logprob=r.avg_logprob, compression_ratio=r.compression_ratio,
+                    no_speech_prob=r.no_speech_prob,
+                ))
+                seg_id += 1
+
+    return {
+        "text": "".join(s.text for s in all_segments),
+        "segments": [s.to_dict() for s in all_segments],
+        "language": tokenizer.language,
+    }
