@@ -1,0 +1,154 @@
+"""Benchmark: whisper-large-v3 architecture RTF on the local accelerator.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Measures the full device pipeline per 30 s window batch — log-mel frontend,
+encoder forward, and the complete filtered greedy decode loop (sample_len
+steps, the n_text_ctx//2 cap; real transcription exits earlier at EOT, so
+this is a conservative lower bound). Weights are random-shaped (no
+checkpoints offline); RTF does not depend on weight values.
+
+Baseline: BASELINE.md north star = 400× real-time on a v5e-8 ⇒ 50× per
+chip. vs_baseline = measured_per_chip / 50.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def _zeros_params(config, dtype):
+    """Param pytree with correct shapes, instant to build (values are
+    irrelevant for timing: params are jit inputs, never constant-folded)."""
+    import jax.numpy as jnp
+
+    from whisper_mlx_tpu.models.whisper import sinusoids
+
+    def dense(n_in, n_out, bias=True):
+        p = {"w": jnp.zeros((n_in, n_out), dtype)}
+        if bias:
+            p["b"] = jnp.zeros((n_out,), dtype)
+        return p
+
+    def ln(d):
+        return {"g": jnp.ones(d, dtype), "b": jnp.zeros(d, dtype)}
+
+    def attn(d):
+        return {"q": dense(d, d), "k": dense(d, d, False), "v": dense(d, d), "o": dense(d, d)}
+
+    d_a, d_t = config.n_audio_state, config.n_text_state
+    enc_blocks = [
+        {"attn_ln": ln(d_a), "attn": attn(d_a), "mlp_ln": ln(d_a),
+         "mlp": {"fc1": dense(d_a, 4 * d_a), "fc2": dense(4 * d_a, d_a)}}
+        for _ in range(config.n_audio_layer)
+    ]
+    dec_blocks = [
+        {"attn_ln": ln(d_t), "attn": attn(d_t),
+         "cross_attn_ln": ln(d_t), "cross_attn": attn(d_t),
+         "mlp_ln": ln(d_t),
+         "mlp": {"fc1": dense(d_t, 4 * d_t), "fc2": dense(4 * d_t, d_t)}}
+        for _ in range(config.n_text_layer)
+    ]
+    return {
+        "encoder": {
+            "conv1": {"w": jnp.zeros((3, config.n_mels, d_a), dtype), "b": jnp.zeros(d_a, dtype)},
+            "conv2": {"w": jnp.zeros((3, d_a, d_a), dtype), "b": jnp.zeros(d_a, dtype)},
+            "pos_emb": jnp.asarray(sinusoids(config.n_audio_ctx, d_a), dtype),
+            "blocks": enc_blocks,
+            "ln_post": ln(d_a),
+        },
+        "decoder": {
+            "token_emb": jnp.zeros((config.n_vocab, d_t), dtype),
+            "pos_emb": jnp.zeros((config.n_text_ctx, d_t), dtype),
+            "blocks": dec_blocks,
+            "ln": ln(d_t),
+        },
+    }
+
+
+def main() -> None:
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    # persistent XLA compile cache: the first large-v3 compile costs minutes;
+    # every later bench run (and the driver's) hits the cache
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/wtpu_xla_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+
+    from whisper_mlx_tpu.audio.mel import N_SAMPLES, log_mel_spectrogram
+    from whisper_mlx_tpu.decoding.task import DecodingOptions, decode
+    from whisper_mlx_tpu.decoding.tokenizer import ByteLevelBPE, WhisperTokenizer, bytes_to_unicode
+    from whisper_mlx_tpu.models.whisper import WHISPER_CONFIGS
+
+    model_name = os.environ.get("BENCH_MODEL", "large-v3")
+    batch = int(os.environ.get("BENCH_BATCH", "8"))
+    sample_len = int(os.environ.get("BENCH_SAMPLE_LEN", "224"))
+    reps = int(os.environ.get("BENCH_REPS", "3"))
+
+    config = dataclasses.replace(WHISPER_CONFIGS[model_name], dtype=jnp.bfloat16)
+
+    # real large-v3 special-token layout over a byte-level base BPE
+    byte_vocab = {c: i for i, c in enumerate(bytes_to_unicode().values())}
+    tok = WhisperTokenizer(ByteLevelBPE(byte_vocab, []), n_base=50257,
+                           num_languages=100 if config.n_vocab == 51866 else 99)
+    assert tok.n_vocab == config.n_vocab, (tok.n_vocab, config.n_vocab)
+
+    params = _zeros_params(config, jnp.bfloat16)
+
+    rng = np.random.default_rng(0)
+    audio = rng.standard_normal((batch, N_SAMPLES)).astype(np.float32) * 0.1
+    audio_dev = jnp.asarray(audio)
+
+    def pipeline():
+        mel = jax.vmap(lambda a: log_mel_spectrogram(a, n_mels=config.n_mels))(audio_dev)
+        return decode(
+            params, mel, tok, config,
+            DecodingOptions(sample_len=sample_len, without_timestamps=False),
+        )
+
+    t0 = time.perf_counter()
+    pipeline()  # compile + warmup
+    compile_s = time.perf_counter() - t0
+
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        pipeline()
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+
+    audio_seconds = batch * 30.0
+    rtf_per_chip = audio_seconds / best / max(jax.device_count(), 1) * jax.device_count()
+    # single-chip measurement: devices==1 here; report per-chip RTF
+    rtf_per_chip = audio_seconds / best / jax.device_count()
+
+    print(
+        json.dumps({
+            "metric": "rtf_per_chip_large_v3",
+            "value": round(rtf_per_chip, 2),
+            "unit": "audio_sec/sec/chip",
+            "vs_baseline": round(rtf_per_chip / 50.0, 3),
+        })
+    )
+    print(
+        f"# model={model_name} batch={batch} sample_len={sample_len} "
+        f"best={best:.3f}s times={['%.3f' % t for t in times]} "
+        f"compile+warmup={compile_s:.1f}s backend={jax.default_backend()} "
+        f"devices={jax.device_count()}",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -9,13 +9,15 @@ without chips, so tests force the CPU backend with 8 virtual devices
 
 import os
 
-# Force CPU even when the environment points at a TPU (JAX_PLATFORMS=axon):
-# tests must be hermetic and runnable without chips. TPU-only tests opt back
-# in via the `tpu` marker and their own subprocess.
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+# Force CPU even when the environment points at a TPU. In this image an axon
+# sitecustomize hook imports jax and registers the TPU backend at interpreter
+# start, so env vars are too late — but jax.config still works because the
+# backends themselves are initialized lazily at first use.
+os.environ["JAX_PLATFORMS"] = "cpu"  # harmless; helps subprocesses we spawn
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

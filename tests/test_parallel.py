@@ -1,0 +1,67 @@
+"""Sharding correctness on the virtual 8-device CPU mesh.
+
+The invariant that matters: DP×TP-sharded execution produces EXACTLY the
+tokens of single-device execution (GSPMD only changes layout, not math —
+modulo reduction order, which argmax token selection is robust to here).
+"""
+
+import numpy as np
+import pytest
+
+import torch  # noqa: F401
+import jax
+import jax.numpy as jnp
+
+from whisper_mlx_tpu.decoding.task import DecodingOptions, decode
+from whisper_mlx_tpu.decoding.tokenizer import make_synthetic_tokenizer
+from whisper_mlx_tpu.models.whisper import WhisperConfig, encode, init_params
+from whisper_mlx_tpu.parallel.mesh import make_mesh
+from whisper_mlx_tpu.parallel.sharding import shard_batch, shard_params
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    tok = make_synthetic_tokenizer()
+    config = WhisperConfig(
+        n_mels=80, n_vocab=tok.n_vocab,
+        n_audio_state=64, n_audio_head=4, n_audio_layer=2,
+        n_text_state=64, n_text_head=4, n_text_layer=2,
+    )
+    params = init_params(config, seed=0)
+    rng = np.random.default_rng(7)
+    mel = rng.standard_normal((4, 3000, 80)).astype(np.float32)
+    return params, config, tok, mel
+
+
+def test_eight_virtual_devices():
+    assert jax.device_count() == 8, "conftest must provide 8 virtual CPU devices"
+
+
+def test_mesh_construction():
+    mesh = make_mesh(dp=2, tp=4)
+    assert mesh.shape == {"dp": 2, "tp": 4}
+    with pytest.raises(ValueError):
+        make_mesh(dp=3, tp=3)
+
+
+@pytest.mark.parametrize("dp,tp", [(8, 1), (2, 4), (1, 8)])
+def test_sharded_decode_matches_single_device(tiny, dp, tp):
+    params, config, tok, mel = tiny
+    base = decode(params, jnp.asarray(mel), tok, config, DecodingOptions(sample_len=16))
+
+    mesh = make_mesh(dp=dp, tp=tp)
+    p_sh = shard_params(params, mesh)
+    mel_sh = shard_batch(jnp.asarray(mel), mesh)
+    sharded = decode(p_sh, mel_sh, tok, config, DecodingOptions(sample_len=16))
+
+    assert [r.tokens for r in base] == [r.tokens for r in sharded]
+    for rb, rs in zip(base, sharded):
+        np.testing.assert_allclose(rb.avg_logprob, rs.avg_logprob, atol=1e-4)
+
+
+def test_sharded_encoder_states_match(tiny):
+    params, config, tok, mel = tiny
+    ref = np.asarray(encode(params, jnp.asarray(mel), config))
+    mesh = make_mesh(dp=2, tp=4)
+    out = np.asarray(encode(shard_params(params, mesh), shard_batch(jnp.asarray(mel), mesh), config))
+    np.testing.assert_allclose(out, ref, atol=1e-4, rtol=1e-4)

@@ -1,0 +1,326 @@
+"""Vectorized beam search, fully jitted (fixed shapes, no host loop).
+
+The reference's beam search (mlx_whisper ``decoding.py`` semantics —
+SURVEY.md §2.1) keeps Python dicts of hypotheses per step. TPU-native
+design (cf. PAPERS.md vectorized beam-search refs): hypotheses live in a
+``(windows, beam, ctx)`` token buffer, one ``lax.while_loop`` advances all
+windows × beams together, KV caches are gathered along the flattened
+batch axis with the parent indices each step.
+
+Semantics preserved from the reference:
+- candidates enumerated best-first; EOT-ended ones feed a finished pool
+  (capacity ``round(beam_size * patience)``, no replacement once full —
+  matching the reference's insertion-only dict), others refill the B live
+  beams — top-2B is sufficient since EOT contributes ≤1 candidate per beam;
+- step 0 proposes from beam 0 only (live beams start identical);
+- finalize ranks finished hypotheses by GoogleNMT length penalty
+  (``((5+L)/6)**lp``, or plain length normalization when lp is None).
+
+Known divergence: the reference dedupes *identical* hypothesis strings via
+dict keys; duplicates here survive as separate beams (tie-breaking only).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from whisper_mlx_tpu.decoding.filters import FilterConfig, apply_filters
+from whisper_mlx_tpu.models.whisper import (
+    Params,
+    WhisperConfig,
+    cross_kv,
+    decode_step,
+    init_kv_cache,
+)
+
+NEG_INF = float("-inf")
+
+
+class BeamResult(NamedTuple):
+    tokens: jnp.ndarray  # (N, P, ctx) finished hypotheses (EOT-terminated)
+    lengths: jnp.ndarray  # (N, P) sampled length before EOT
+    scores: jnp.ndarray  # (N, P) raw sum_logprobs (incl. EOT)
+    fin_count: jnp.ndarray  # (N,) valid finished hypotheses
+    no_speech_probs: jnp.ndarray  # (N,)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("config", "filter_cfg", "sample_len", "sot_index",
+                     "beam_size", "pool_size"),
+)
+def beam_decode(
+    params: Params,
+    audio_states: jnp.ndarray,  # (N, 1500, d)
+    initial_tokens: jnp.ndarray,  # (N, n_init)
+    suppress_mask: jnp.ndarray,
+    blank_mask: jnp.ndarray,
+    config: WhisperConfig,
+    filter_cfg: FilterConfig,
+    sample_len: int,
+    sot_index: int,
+    no_speech_token: int,
+    beam_size: int,
+    pool_size: int,
+) -> BeamResult:
+    N, n_init = initial_tokens.shape
+    B, P = beam_size, pool_size
+    n_ctx = config.n_text_ctx
+    eot = filter_cfg.eot
+    NB = N * B
+
+    states_flat = jnp.repeat(audio_states, B, axis=0)  # (N*B, 1500, d)
+    xkv = cross_kv(params, states_flat, config)
+    cache = init_kv_cache(config, NB)
+
+    init_flat = jnp.repeat(initial_tokens, B, axis=0)
+    logits_all, cache, _ = decode_step(params, init_flat, jnp.int32(0), cache, xkv, config)
+    no_speech_probs = jax.nn.softmax(
+        logits_all[::B, sot_index].astype(jnp.float32), axis=-1
+    )[:, no_speech_token]
+    last_logits = logits_all[:, -1].astype(jnp.float32)  # (N*B, V)
+
+    tokens0 = jnp.zeros((NB, n_ctx), jnp.int32)
+    tokens0 = jax.lax.dynamic_update_slice(tokens0, init_flat.astype(jnp.int32), (0, 0))
+
+    class State(NamedTuple):
+        tokens: jnp.ndarray  # (N*B, ctx)
+        cum_logprob: jnp.ndarray  # (N, B)
+        logits: jnp.ndarray  # (N*B, V)
+        cache: list
+        cur_len: jnp.ndarray
+        fin_tokens: jnp.ndarray  # (N, P, ctx)
+        fin_lengths: jnp.ndarray  # (N, P)
+        fin_scores: jnp.ndarray  # (N, P)
+        fin_count: jnp.ndarray  # (N,)
+
+    # step 0: only beam 0 is live (all beams identical after prefill)
+    cum0 = jnp.where(jnp.arange(B)[None, :] == 0, 0.0, NEG_INF)
+    cum0 = jnp.tile(cum0, (N, 1))
+
+    state = State(
+        tokens=tokens0,
+        cum_logprob=cum0,
+        logits=last_logits,
+        cache=cache,
+        cur_len=jnp.int32(n_init),
+        fin_tokens=jnp.zeros((N, P, n_ctx), jnp.int32),
+        fin_lengths=jnp.zeros((N, P), jnp.int32),
+        fin_scores=jnp.full((N, P), NEG_INF, jnp.float32),
+        fin_count=jnp.zeros((N,), jnp.int32),
+    )
+    max_len = min(n_init + sample_len, n_ctx)
+    V = config.n_vocab
+    K = 2 * B  # top-K candidates per window (≥B non-EOT guaranteed)
+
+    def cond(s: State):
+        return (s.cur_len < max_len) & ~jnp.all(s.fin_count >= P)
+
+    def body(s: State) -> State:
+        logits = apply_filters(
+            s.logits, s.tokens, s.cur_len, suppress_mask, blank_mask, filter_cfg
+        )  # (N*B, V)
+        logprobs = jax.nn.log_softmax(logits, axis=-1).reshape(N, B, V)
+        cand = s.cum_logprob[:, :, None] + logprobs  # (N, B, V)
+        top_scores, top_idx = jax.lax.top_k(cand.reshape(N, B * V), K)  # (N, K)
+        parent = top_idx // V  # (N, K) source beam
+        token = (top_idx % V).astype(jnp.int32)  # (N, K)
+
+        is_eot = token == eot
+
+        # ---- finished pool (insertion-only, best-first within the step) ----
+        # rank EOT candidates by order (already sorted); pool slots fill while
+        # fin_count < P
+        eot_rank = jnp.cumsum(is_eot.astype(jnp.int32), axis=1) - 1  # rank among EOTs
+        slot = s.fin_count[:, None] + eot_rank  # target pool slot
+        can_insert = is_eot & (slot < P)
+        # scatter finished hypotheses into the pool
+        parent_flat = parent + jnp.arange(N)[:, None] * B  # (N, K) → N*B index
+        seqs = s.tokens[parent_flat.reshape(-1)].reshape(N, K, n_ctx)
+        # append the (EOT) token at position cur_len
+        seqs = jax.vmap(
+            jax.vmap(
+                lambda ti, toki: jax.lax.dynamic_update_slice(ti, toki[None], (s.cur_len,))
+            )
+        )(seqs, token)
+
+        def insert_pool(ft, fl, fs, seqs_w, can_w, slot_w, scores_w, cur_len):
+            # ft (P, ctx), seqs_w (K, ctx): scatter rows where can_w
+            slot_safe = jnp.where(can_w, slot_w, P)  # P = dropped
+            onehot = jax.nn.one_hot(slot_safe, P, dtype=jnp.int32)  # (K, P)
+            chosen = jnp.einsum("kp,kc->pc", onehot, seqs_w)  # (P, ctx)
+            written = onehot.sum(0) > 0  # (P,)
+            ft = jnp.where(written[:, None], chosen, ft)
+            sc = jnp.einsum("kp,k->p", onehot.astype(jnp.float32), scores_w)
+            fs = jnp.where(written, sc, fs)
+            ln = cur_len - jnp.asarray(n_init, jnp.int32)  # sampled length before EOT
+            fl = jnp.where(written, ln, fl)
+            return ft, fl, fs
+
+        fin_tokens, fin_lengths, fin_scores = jax.vmap(insert_pool)(
+            s.fin_tokens, s.fin_lengths, s.fin_scores,
+            seqs, can_insert, slot, top_scores,
+            jnp.full((N,), s.cur_len, jnp.int32),
+        )
+        fin_count = jnp.minimum(
+            s.fin_count + jnp.sum(can_insert, axis=1, dtype=jnp.int32), P
+        )
+
+        # ---- refill live beams with best B non-EOT candidates -------------
+        nb_rank = jnp.cumsum((~is_eot).astype(jnp.int32), axis=1) - 1
+        keep = (~is_eot) & (nb_rank < B)
+        # select, per window, the kept K-indices in order → B slots
+        sel = jnp.where(keep, nb_rank, B)
+        onehot_b = jax.nn.one_hot(sel, B, dtype=jnp.int32)  # (N, K, B)
+        new_parent = jnp.einsum("nkb,nk->nb", onehot_b, parent)  # (N, B)
+        new_token = jnp.einsum("nkb,nk->nb", onehot_b, token)
+        new_cum = jnp.einsum("nkb,nk->nb", onehot_b.astype(jnp.float32), top_scores)
+
+        flat_parent = (new_parent + jnp.arange(N)[:, None] * B).reshape(-1)  # (N*B,)
+        tokens = s.tokens[flat_parent]
+        tokens = jax.lax.dynamic_update_slice(
+            tokens, new_token.reshape(-1, 1), (0, s.cur_len)
+        )
+        cache_g = jax.tree.map(lambda c: c[flat_parent], s.cache)
+
+        step_logits, cache_new, _ = decode_step(
+            params, new_token.reshape(-1, 1), s.cur_len, cache_g, xkv, config
+        )
+        return State(
+            tokens=tokens,
+            cum_logprob=new_cum,
+            logits=step_logits[:, -1].astype(jnp.float32),
+            cache=cache_new,
+            cur_len=s.cur_len + 1,
+            fin_tokens=fin_tokens,
+            fin_lengths=fin_lengths,
+            fin_scores=fin_scores,
+            fin_count=fin_count,
+        )
+
+    final = jax.lax.while_loop(cond, body, state)
+
+    # windows with an underfull pool: back-fill from the best live beams
+    # (reference finalize adds unfinished hypotheses when finished < beam)
+    live_tokens = final.tokens.reshape(N, B, n_ctx)
+    order = jnp.argsort(-final.cum_logprob, axis=1)  # best live first
+    live_sorted = jnp.take_along_axis(live_tokens, order[:, :, None], axis=1)
+    live_scores = jnp.take_along_axis(final.cum_logprob, order, axis=1)
+
+    def backfill(ft, fl, fs, count, live_t, live_s, cur_len):
+        idx = jnp.arange(P)
+        need = idx >= count
+        src = jnp.clip(idx - count, 0, B - 1)
+        cand_t = live_t[src]
+        # live hypotheses have no EOT; append one at cur_len
+        cand_t = jax.vmap(
+            lambda t: jax.lax.dynamic_update_slice(t, jnp.asarray([eot], jnp.int32), (cur_len,))
+        )(cand_t)
+        cand_s = live_s[src]
+        ft = jnp.where(need[:, None], cand_t, ft)
+        fs = jnp.where(need, cand_s, fs)
+        fl = jnp.where(need, cur_len - n_init, fl)
+        return ft, fl, fs
+
+    fin_tokens, fin_lengths, fin_scores = jax.vmap(backfill)(
+        final.fin_tokens, final.fin_lengths, final.fin_scores, final.fin_count,
+        live_sorted, live_scores, jnp.full((N,), final.cur_len, jnp.int32),
+    )
+
+    return BeamResult(
+        tokens=fin_tokens,
+        lengths=fin_lengths,
+        scores=fin_scores,
+        fin_count=jnp.full((N,), P, jnp.int32),
+        no_speech_probs=no_speech_probs,
+    )
+
+
+def beam_decode_task(
+    params: Params,
+    mel_or_states: jnp.ndarray,
+    tokenizer,
+    config: WhisperConfig,
+    options,
+    *,
+    states_precomputed: bool = False,
+):
+    """Host wrapper → list[DecodingResult]; ranks by length penalty."""
+    from whisper_mlx_tpu.decoding.filters import make_suppress_mask
+    from whisper_mlx_tpu.decoding.task import (
+        DecodingResult,
+        _resolve_suppress,
+        build_initial_tokens,
+        compression_ratio,
+    )
+    from whisper_mlx_tpu.models.whisper import encode
+
+    audio_states = (
+        mel_or_states if states_precomputed else encode(params, mel_or_states, config)
+    )
+    N = audio_states.shape[0]
+    B = options.beam_size
+    patience = options.patience if options.patience is not None else 1.0
+    P = max(round(B * patience), 1)
+
+    init_tokens, sot_index, sample_begin = build_initial_tokens(
+        tokenizer, options, config.n_text_ctx
+    )
+    sample_len = options.sample_len or (config.n_text_ctx // 2)
+    suppress_ids = _resolve_suppress(options, tokenizer)
+    blank_ids = tuple(tokenizer.encode(" ")) + (tokenizer.eot,) if options.suppress_blank else ()
+    always_np, begin_np = make_suppress_mask(config.n_vocab, suppress_ids, blank_ids)
+    max_initial_ts_idx = (
+        round(options.max_initial_timestamp / 0.02)
+        if options.max_initial_timestamp is not None
+        else None
+    )
+    filter_cfg = FilterConfig(
+        eot=tokenizer.eot,
+        no_timestamps=tokenizer.no_timestamps,
+        timestamp_begin=tokenizer.timestamp_begin,
+        sample_begin=sample_begin,
+        max_initial_timestamp_index=max_initial_ts_idx,
+        apply_timestamp_rules=not options.without_timestamps,
+    )
+
+    result = beam_decode(
+        params, audio_states,
+        jnp.tile(jnp.asarray(init_tokens, jnp.int32)[None, :], (N, 1)),
+        jnp.asarray(always_np), jnp.asarray(begin_np),
+        config=config, filter_cfg=filter_cfg, sample_len=sample_len,
+        sot_index=sot_index, no_speech_token=tokenizer.no_speech,
+        beam_size=B, pool_size=P,
+    )
+
+    tokens_np = np.asarray(result.tokens)
+    lengths_np = np.asarray(result.lengths)
+    scores_np = np.asarray(result.scores)
+    ns_np = np.asarray(result.no_speech_probs)
+
+    lp = options.length_penalty
+    out = []
+    for w in range(N):
+        best, best_score = 0, -np.inf
+        for p in range(P):
+            L = max(int(lengths_np[w, p]), 1)
+            penalty = float(L) if lp is None else ((5.0 + L) / 6.0) ** lp
+            score = scores_np[w, p] / penalty
+            if score > best_score:
+                best_score, best = score, p
+        L = int(lengths_np[w, best])
+        toks = tokens_np[w, best, sample_begin : sample_begin + L].tolist()
+        text = tokenizer.decode(toks).strip()
+        avg_lp = float(scores_np[w, best]) / (L + 1)
+        out.append(DecodingResult(
+            tokens=toks, text=text, language=tokenizer.language,
+            avg_logprob=avg_lp, no_speech_prob=float(ns_np[w]),
+            temperature=options.temperature,
+            compression_ratio=compression_ratio(text),
+        ))
+    return out

@@ -281,6 +281,7 @@ def transcribe(
                     current_segments, params, config, tokenizer,
                     np.asarray(mel_segment), time_offset,
                     prepend_punctuations, append_punctuations,
+                    num_frames=segment_size,
                 )
                 # hallucination-silence skip (the reference launcher passes
                 # threshold=1 — reference run:6)

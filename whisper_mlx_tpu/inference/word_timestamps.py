@@ -1,0 +1,263 @@
+"""Word-level timestamps: cross-attention DTW alignment.
+
+Re-implements the word-timing pipeline the reference gets from mlx_whisper
+(SURVEY.md §2.1 "Word timestamps" row): teacher-forced decoder pass
+exporting cross-attention of the alignment heads, per-head normalization +
+median filter, DTW over the token×frame cost matrix, word grouping via the
+tokenizer, and punctuation merging.
+
+TPU design: the teacher-forced pass is ONE ``decode_step`` prefill over the
+whole token sequence (no per-token loop) with ``collect_cross_attn=True``;
+only the alignment heads are gathered to the host. DTW runs on host (numpy,
+anti-diagonal-free row scan — token count is tens, frames ≤1500, so the
+O(T·F) DP is microseconds; a C++ native kernel slot exists for batch mode).
+
+Alignment heads: real checkpoints ship a per-model head mask; without one we
+default to all heads of the upper half of the decoder (the published
+fallback for models lacking dumps).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from whisper_mlx_tpu.audio.mel import HOP_LENGTH, SAMPLE_RATE
+from whisper_mlx_tpu.decoding.tokenizer import WhisperTokenizer
+from whisper_mlx_tpu.models.whisper import (
+    Params,
+    WhisperConfig,
+    cross_kv,
+    decode_step,
+    encode,
+    init_kv_cache,
+)
+
+AUDIO_TIME_PER_TOKEN = 0.02
+
+
+def default_alignment_heads(config: WhisperConfig) -> list[tuple[int, int]]:
+    """All heads of the upper half of decoder layers (fallback mask)."""
+    lo = config.n_text_layer // 2
+    return [(l, h) for l in range(lo, config.n_text_layer) for h in range(config.n_text_head)]
+
+
+def median_filter(x: np.ndarray, width: int) -> np.ndarray:
+    """Median filter along the last axis, reflect-padded (odd width)."""
+    if width <= 1 or x.shape[-1] <= width:
+        return x
+    pad = width // 2
+    xp = np.pad(x, [(0, 0)] * (x.ndim - 1) + [(pad, pad)], mode="reflect")
+    windows = np.lib.stride_tricks.sliding_window_view(xp, width, axis=-1)
+    return np.median(windows, axis=-1)
+
+
+def dtw(cost: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Monotone alignment path minimizing summed cost.
+
+    ``cost`` is (tokens, frames). Returns (text_indices, time_indices) —
+    the standard 3-move (↓, →, ↘) DTW traceback.
+    """
+    N, M = cost.shape
+    D = np.full((N + 1, M + 1), np.inf, dtype=np.float64)
+    D[0, 0] = 0.0
+    trace = np.zeros((N + 1, M + 1), dtype=np.int8)
+    for i in range(1, N + 1):
+        row = cost[i - 1]
+        prev = D[i - 1]
+        cur = D[i]
+        # c[j] = row[j-1] + min(prev[j-1] (diag), prev[j] (down), cur[j-1] (right))
+        m_diag = prev[:-1]
+        m_down = prev[1:]
+        c_prev = np.inf
+        for j in range(1, M + 1):
+            best = m_diag[j - 1]
+            move = 0  # diagonal
+            if m_down[j - 1] < best:
+                best = m_down[j - 1]
+                move = 1  # down (advance token only)
+            if c_prev < best:
+                best = c_prev
+                move = 2  # right (advance frame only)
+            c_prev = row[j - 1] + best
+            cur[j] = c_prev
+            trace[i, j] = move
+    # traceback
+    i, j = N, M
+    text_idx, time_idx = [], []
+    while i > 0 and j > 0:
+        text_idx.append(i - 1)
+        time_idx.append(j - 1)
+        move = trace[i, j]
+        if move == 0:
+            i, j = i - 1, j - 1
+        elif move == 1:
+            i -= 1
+        else:
+            j -= 1
+    return np.array(text_idx[::-1]), np.array(time_idx[::-1])
+
+
+@dataclass
+class WordTiming:
+    word: str
+    tokens: list[int]
+    start: float
+    end: float
+    probability: float
+
+
+def find_alignment(
+    params: Params,
+    config: WhisperConfig,
+    tokenizer: WhisperTokenizer,
+    text_tokens: list[int],
+    mel_window: np.ndarray,  # (3000, n_mels) — one 30 s window
+    num_frames: int,
+    *,
+    medfilt_width: int = 7,
+    alignment_heads: list[tuple[int, int]] | None = None,
+) -> list[WordTiming]:
+    if not text_tokens:
+        return []
+    heads = alignment_heads or default_alignment_heads(config)
+    sot_seq = list(tokenizer.sot_sequence)
+    tokens = sot_seq + [tokenizer.no_timestamps] + list(text_tokens) + [tokenizer.eot]
+
+    states = encode(params, jnp.asarray(mel_window)[None], config)
+    xkv = cross_kv(params, states, config)
+    cache = init_kv_cache(config, 1)
+    logits, _, cross = decode_step(
+        params, jnp.asarray([tokens], jnp.int32), jnp.int32(0), cache, xkv, config,
+        collect_cross_attn=True,
+    )
+    # token probabilities (text vocab only), positions predicting text_tokens
+    lg = np.asarray(logits[0].astype(jnp.float32))  # (T, V)
+    sampled = lg[len(sot_seq) : len(sot_seq) + len(text_tokens), : tokenizer.eot]
+    probs = np.exp(sampled - sampled.max(-1, keepdims=True))
+    probs /= probs.sum(-1, keepdims=True)
+    text_token_probs = probs[np.arange(len(text_tokens)), text_tokens]
+
+    # cross: (layers, 1, heads, T, 1500) → selected heads (H, T, frames)
+    cross_np = np.asarray(cross[:, 0].astype(jnp.float32))
+    w = np.stack([cross_np[l, h] for l, h in heads])  # (H, T, 1500)
+    w = w[:, :, : num_frames // 2]
+    w = w / np.maximum(w.sum(-1, keepdims=True), 1e-9)  # renorm over sliced frames
+    mean = w.mean(axis=-2, keepdims=True)
+    std = w.std(axis=-2, keepdims=True)
+    w = (w - mean) / np.maximum(std, 1e-9)
+    w = median_filter(w, medfilt_width)
+    matrix = w.mean(axis=0)  # (T, frames)
+    matrix = matrix[len(sot_seq) : -1]  # rows for [no_timestamps, *text_tokens]
+
+    text_indices, time_indices = dtw(-matrix.astype(np.float64))
+
+    words, word_tokens = tokenizer.split_to_word_tokens(list(text_tokens) + [tokenizer.eot])
+    if len(word_tokens) <= 1:
+        return []
+    word_boundaries = np.pad(np.cumsum([len(t) for t in word_tokens[:-1]]), (1, 0))
+
+    jumps = np.pad(np.diff(text_indices), (1, 0), constant_values=1).astype(bool)
+    jump_times = time_indices[jumps] * AUDIO_TIME_PER_TOKEN
+    start_times = jump_times[word_boundaries[:-1]]
+    end_times = jump_times[np.minimum(word_boundaries[1:], len(jump_times) - 1)]
+    word_probs = [
+        float(np.mean(text_token_probs[i:j])) if j > i else 0.0
+        for i, j in zip(word_boundaries[:-1], word_boundaries[1:])
+    ]
+    return [
+        WordTiming(word=w_, tokens=t_, start=float(s), end=float(e), probability=p)
+        for w_, t_, s, e, p in zip(words[:-1], word_tokens[:-1], start_times, end_times, word_probs)
+    ]
+
+
+def merge_punctuations(alignment: list[WordTiming], prepended: str, appended: str) -> None:
+    """Fold leading/trailing punctuation into adjacent words (in place)."""
+    i, j = len(alignment) - 2, len(alignment) - 1
+    while i >= 0:
+        prev, fol = alignment[i], alignment[j]
+        if prev.word.startswith(" ") and prev.word.strip() in prepended:
+            fol.word = prev.word + fol.word
+            fol.tokens = prev.tokens + fol.tokens
+            prev.word = ""
+            prev.tokens = []
+        else:
+            j = i
+        i -= 1
+    i, j = 0, 1
+    while j < len(alignment):
+        prev, fol = alignment[i], alignment[j]
+        if not prev.word.endswith(" ") and fol.word in appended:
+            prev.word = prev.word + fol.word
+            prev.tokens = prev.tokens + fol.tokens
+            fol.word = ""
+            fol.tokens = []
+        else:
+            i = j
+        j += 1
+
+
+def add_word_timestamps(
+    segments: list,  # list[Segment] from inference.transcribe
+    params: Params,
+    config: WhisperConfig,
+    tokenizer: WhisperTokenizer,
+    mel_window: np.ndarray,
+    time_offset: float,
+    prepend_punctuations: str = "\"'“¿([{-",
+    append_punctuations: str = "\"'.。,，!！?？:：”)]}、",
+    num_frames: int | None = None,
+    alignment_heads: list[tuple[int, int]] | None = None,
+) -> None:
+    """Attach ``words`` lists to each segment of one window (in place)."""
+    if not segments:
+        return
+    text_tokens_per_segment = [
+        [t for t in seg.tokens if t < tokenizer.eot] for seg in segments
+    ]
+    text_tokens = [t for seg in text_tokens_per_segment for t in seg]
+    alignment = find_alignment(
+        params, config, tokenizer, text_tokens, mel_window,
+        num_frames=num_frames or mel_window.shape[0],
+        alignment_heads=alignment_heads,
+    )
+    word_durations = np.array([w.end - w.start for w in alignment if w.end > w.start])
+    median_duration = float(np.median(word_durations)) if len(word_durations) else 0.0
+    median_duration = min(0.7, median_duration)
+    max_duration = median_duration * 2
+
+    # truncate absurdly long words (hallucination symptom)
+    if len(word_durations) > 0:
+        sentence_end_marks = ".。!！?？"
+        for i in range(1, len(alignment)):
+            if alignment[i].end - alignment[i].start > max_duration:
+                if alignment[i].word in sentence_end_marks:
+                    alignment[i].end = alignment[i].start + max_duration
+                elif alignment[i - 1].word in sentence_end_marks:
+                    alignment[i].start = alignment[i].end - max_duration
+
+    merge_punctuations(alignment, prepend_punctuations, append_punctuations)
+
+    word_index = 0
+    for segment, seg_tokens in zip(segments, text_tokens_per_segment):
+        saved: list[dict] = []
+        remaining = len(seg_tokens)
+        while word_index < len(alignment) and remaining > 0:
+            timing = alignment[word_index]
+            if timing.word:
+                saved.append({
+                    "word": timing.word,
+                    "start": round(time_offset + timing.start, 2),
+                    "end": round(time_offset + timing.end, 2),
+                    "probability": timing.probability,
+                })
+            remaining -= len(timing.tokens)
+            word_index += 1
+        segment.words = saved
+        # snap segment boundaries to word boundaries (reference behavior)
+        if saved:
+            segment.start = saved[0]["start"]
+            segment.end = saved[-1]["end"]
