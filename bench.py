@@ -95,8 +95,12 @@ def main() -> None:
     batch = int(os.environ.get("BENCH_BATCH", "8"))
     sample_len = int(os.environ.get("BENCH_SAMPLE_LEN", "224"))
     reps = int(os.environ.get("BENCH_REPS", "3"))
+    use_flash = os.environ.get("BENCH_FLASH", "1") == "1"
+    quant_bits = int(os.environ.get("BENCH_QUANT", "0"))  # 0=off, 4, 8
 
-    config = dataclasses.replace(WHISPER_CONFIGS[model_name], dtype=jnp.bfloat16)
+    config = dataclasses.replace(
+        WHISPER_CONFIGS[model_name], dtype=jnp.bfloat16, flash_attention=use_flash
+    )
 
     # real large-v3 special-token layout over a byte-level base BPE
     byte_vocab = {c: i for i, c in enumerate(bytes_to_unicode().values())}
@@ -105,6 +109,15 @@ def main() -> None:
     assert tok.n_vocab == config.n_vocab, (tok.n_vocab, config.n_vocab)
 
     params = _zeros_params(config, jnp.bfloat16)
+    if quant_bits:
+        import jax.numpy as _jnp
+
+        from whisper_mlx_tpu.ops.quant import quantize_params
+
+        params = quantize_params(
+            jax.tree.map(lambda a: np.asarray(a, np.float32), params),
+            bits=quant_bits, group_size=64,
+        )
 
     rng = np.random.default_rng(0)
     audio = rng.standard_normal((batch, N_SAMPLES)).astype(np.float32) * 0.1
@@ -143,6 +156,7 @@ def main() -> None:
     )
     print(
         f"# model={model_name} batch={batch} sample_len={sample_len} "
+        f"flash={use_flash} quant={quant_bits} "
         f"best={best:.3f}s times={['%.3f' % t for t in times]} "
         f"compile+warmup={compile_s:.1f}s backend={jax.default_backend()} "
         f"devices={jax.device_count()}",

@@ -1,0 +1,91 @@
+"""LLM generation engine: sampling, stop tokens, streaming, chat template."""
+
+import numpy as np
+import pytest
+
+import torch  # noqa: F401
+import jax
+import jax.numpy as jnp
+
+from whisper_mlx_tpu.decoding.llm_tokenizer import ByteFallbackTokenizer
+from whisper_mlx_tpu.inference.generate import (
+    LLMEngine,
+    apply_chat_template,
+    sample_token,
+)
+from whisper_mlx_tpu.models.qwen import QwenConfig, init_params
+
+
+@pytest.fixture(scope="module")
+def engine():
+    tok = ByteFallbackTokenizer()
+    config = QwenConfig(
+        vocab_size=tok.vocab_size, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        rope_theta=10_000.0, tie_word_embeddings=True, attention_bias=True,
+    )
+    params = init_params(config, seed=0)
+    return LLMEngine(params, config, tok, max_context=256)
+
+
+def test_chat_template():
+    s = apply_chat_template([
+        {"role": "system", "content": "be brief"},
+        {"role": "user", "content": "hi"},
+    ])
+    assert s == (
+        "<|im_start|>system\nbe brief<|im_end|>\n"
+        "<|im_start|>user\nhi<|im_end|>\n"
+        "<|im_start|>assistant\n<think>\n\n</think>\n\n"
+    )
+
+
+def test_generate_greedy_deterministic(engine):
+    r1 = engine.generate("hello", max_tokens=12, temperature=0.0)
+    r2 = engine.generate("hello", max_tokens=12, temperature=0.0)
+    assert r1.tokens == r2.tokens
+    assert r1.generation_tokens <= 12
+    assert isinstance(r1.text, str)
+    assert r1.prompt_tokens == 5
+
+
+def test_generate_sampling_seeds_differ(engine):
+    r1 = engine.generate("hello", max_tokens=12, temperature=1.0, seed=1)
+    r2 = engine.generate("hello", max_tokens=12, temperature=1.0, seed=2)
+    assert r1.tokens != r2.tokens
+
+
+def test_stream_matches_generate(engine):
+    full = engine.generate("abc", max_tokens=10, temperature=0.0)
+    streamed = "".join(engine.stream_generate("abc", max_tokens=10, temperature=0.0))
+    assert streamed == full.text
+
+
+def test_chat_entry(engine):
+    r = engine.chat([{"role": "user", "content": "hi"}], max_tokens=8, temperature=0.0)
+    assert r.generation_tokens <= 8
+
+
+def test_sample_token_top_k():
+    logits = jnp.asarray([[1.0, 5.0, 3.0, 0.0]])
+    key = jax.random.PRNGKey(0)
+    # top_k=1 at any temperature must select argmax
+    for seed in range(5):
+        t = sample_token(logits, jax.random.PRNGKey(seed), jnp.float32(2.0), top_k=1)
+        assert int(t[0]) == 1
+
+
+def test_sample_token_top_p():
+    # one dominant token (p≈0.97): top_p=0.5 keeps only it
+    logits = jnp.asarray([[10.0, 5.0, 1.0, 0.0]])
+    for seed in range(5):
+        t = sample_token(logits, jax.random.PRNGKey(seed), jnp.float32(1.0), top_p=0.5)
+        assert int(t[0]) == 0
+
+
+def test_stop_token_halts(engine):
+    """Force the first sampled token to be a stop token via a rigged model:
+    instead, verify generate() never emits a stop id in its output."""
+    r = engine.generate("xyz", max_tokens=20, temperature=0.8, seed=3)
+    stops = set(engine._stop_ids())
+    assert not (set(r.tokens) & stops)

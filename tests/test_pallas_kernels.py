@@ -1,0 +1,93 @@
+"""Pallas kernels vs their XLA reference paths (interpret mode on CPU).
+
+Each kernel must match the XLA implementation it replaces to float
+tolerance; the real-TPU compiled path is exercised by bench.py on hardware.
+"""
+
+import numpy as np
+import pytest
+
+import torch  # noqa: F401
+import jax
+import jax.numpy as jnp
+
+from whisper_mlx_tpu.ops.flash_attention import flash_attention
+from whisper_mlx_tpu.ops.quant import QuantTensor, dequantize, quantize
+from whisper_mlx_tpu.ops.quant_pallas import quant_matmul_pallas
+
+
+def test_quant_matmul_pallas_matches_xla():
+    rng = np.random.default_rng(0)
+    M, K, N = 8, 256, 384
+    w = rng.standard_normal((N, K)).astype(np.float32)
+    x = rng.standard_normal((M, K)).astype(np.float32)
+    w_q, scales, biases = quantize(w, bits=4, group_size=64)
+    qt = QuantTensor(jnp.asarray(w_q), jnp.asarray(scales), jnp.asarray(biases), 4, 64)
+    ref = x @ dequantize(w_q, scales, biases, 4, 64).T
+    out = np.asarray(quant_matmul_pallas(jnp.asarray(x), qt, interpret=True))
+    np.testing.assert_allclose(out, ref, atol=2e-4, rtol=2e-4)
+
+
+def test_quant_matmul_pallas_int8_unaligned():
+    rng = np.random.default_rng(1)
+    M, K, N = 3, 128, 200  # M < sublane, N not a tile multiple
+    w = rng.standard_normal((N, K)).astype(np.float32)
+    x = rng.standard_normal((M, K)).astype(np.float32)
+    w_q, scales, biases = quantize(w, bits=8, group_size=64)
+    qt = QuantTensor(jnp.asarray(w_q), jnp.asarray(scales), jnp.asarray(biases), 8, 64)
+    ref = x @ dequantize(w_q, scales, biases, 8, 64).T
+    out = np.asarray(quant_matmul_pallas(jnp.asarray(x), qt, interpret=True))
+    np.testing.assert_allclose(out, ref, atol=2e-4, rtol=2e-4)
+
+
+def _sdpa_ref(q, k, v, causal=False):
+    s = np.einsum("bhqd,bhkd->bhqk", q, k).astype(np.float32)
+    if causal:
+        Tq, Tk = s.shape[-2:]
+        mask = np.tril(np.ones((Tq, Tk), bool))
+        s = np.where(mask, s, -np.inf)
+    p = np.exp(s - s.max(-1, keepdims=True))
+    p /= p.sum(-1, keepdims=True)
+    return np.einsum("bhqk,bhkd->bhqd", p, v)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_flash_attention_matches_reference(causal):
+    rng = np.random.default_rng(2)
+    B, H, T, hd = 2, 3, 300, 64  # T not a tile multiple → padding path
+    q = rng.standard_normal((B, H, T, hd)).astype(np.float32) * 0.3
+    k = rng.standard_normal((B, H, T, hd)).astype(np.float32) * 0.3
+    v = rng.standard_normal((B, H, T, hd)).astype(np.float32)
+    ref = _sdpa_ref(q, k, v, causal)
+    out = np.asarray(flash_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+        causal=causal, tile_q=128, tile_k=128, interpret=True,
+    ))
+    np.testing.assert_allclose(out, ref, atol=2e-5, rtol=2e-5)
+
+
+def test_flash_attention_long_kv():
+    rng = np.random.default_rng(3)
+    B, H, Tq, Tk, hd = 1, 2, 64, 1500, 64  # cross-attention shape
+    q = rng.standard_normal((B, H, Tq, hd)).astype(np.float32) * 0.3
+    k = rng.standard_normal((B, H, Tk, hd)).astype(np.float32) * 0.3
+    v = rng.standard_normal((B, H, Tk, hd)).astype(np.float32)
+    ref = _sdpa_ref(q, k, v)
+    out = np.asarray(flash_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+        tile_q=64, tile_k=512, interpret=True,
+    ))
+    np.testing.assert_allclose(out, ref, atol=2e-5, rtol=2e-5)
+
+
+@pytest.mark.parametrize("n_mels", [80, 128])
+def test_mel_pallas_matches_xla(n_mels):
+    from tests.conftest import make_speechy_audio
+    from whisper_mlx_tpu.audio.mel import N_SAMPLES, log_mel_spectrogram, pad_or_trim
+    from whisper_mlx_tpu.ops.mel_pallas import log_mel_pallas
+
+    audio = pad_or_trim(jnp.asarray(make_speechy_audio(4.0)), N_SAMPLES)
+    ref = np.asarray(log_mel_spectrogram(audio, n_mels=n_mels))
+    out = np.asarray(log_mel_pallas(audio, n_mels=n_mels, interpret=True))
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(out, ref, atol=2e-4, rtol=2e-4)

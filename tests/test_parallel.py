@@ -29,7 +29,8 @@ def tiny():
     )
     params = init_params(config, seed=0)
     rng = np.random.default_rng(7)
-    mel = rng.standard_normal((4, 3000, 80)).astype(np.float32)
+    # batch 8: divisible by every dp size tested (8, 2, 1)
+    mel = rng.standard_normal((8, 3000, 80)).astype(np.float32)
     return params, config, tok, mel
 
 

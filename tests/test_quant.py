@@ -1,0 +1,150 @@
+"""Quantization format + quantized-model correctness.
+
+Key invariants:
+- quantize→dequantize round-trip error bounded by scale/2 per element;
+- decode with a quantized model EXACTLY matches decode with the explicitly
+  dequantized fp weights (the quant matmul must introduce no extra error);
+- MLX-format export→load round-trips both fp and quantized checkpoints.
+"""
+
+import numpy as np
+import pytest
+
+import torch  # noqa: F401
+import jax
+import jax.numpy as jnp
+
+from whisper_mlx_tpu.decoding.task import DecodingOptions, decode
+from whisper_mlx_tpu.decoding.tokenizer import make_synthetic_tokenizer
+from whisper_mlx_tpu.models.whisper import WhisperConfig, init_params
+from whisper_mlx_tpu.ops.quant import (
+    QuantTensor,
+    dequantize,
+    quant_matmul,
+    quant_rows,
+    quantize,
+    quantize_params,
+)
+
+
+@pytest.mark.parametrize("bits", [4, 8])
+def test_quantize_roundtrip_error_bound(bits):
+    rng = np.random.default_rng(0)
+    w = rng.standard_normal((32, 128)).astype(np.float32)
+    w_q, scales, biases = quantize(w, bits=bits, group_size=64)
+    assert w_q.dtype == np.uint32
+    assert w_q.shape == (32, 128 * bits // 32)
+    assert scales.shape == (32, 2)
+    back = dequantize(w_q, scales, biases, bits, 64)
+    err = np.abs(back - w)
+    assert np.all(err <= scales.repeat(64, axis=1) * 0.5 + 1e-6)
+
+
+def test_quant_matmul_matches_dequant():
+    rng = np.random.default_rng(1)
+    w = rng.standard_normal((48, 128)).astype(np.float32)  # (out, in)
+    x = rng.standard_normal((5, 128)).astype(np.float32)
+    w_q, scales, biases = quantize(w, bits=4, group_size=64)
+    qt = QuantTensor(jnp.asarray(w_q), jnp.asarray(scales), jnp.asarray(biases), 4, 64)
+    ref = x @ dequantize(w_q, scales, biases, 4, 64).T
+    out = np.asarray(quant_matmul(jnp.asarray(x), qt))
+    np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-5)
+
+
+def test_quant_rows_lookup():
+    rng = np.random.default_rng(2)
+    emb = rng.standard_normal((100, 64)).astype(np.float32)
+    w_q, scales, biases = quantize(emb, bits=4, group_size=64)
+    qt = QuantTensor(jnp.asarray(w_q), jnp.asarray(scales), jnp.asarray(biases), 4, 64)
+    ids = jnp.asarray([[3, 77], [0, 99]])
+    rows = np.asarray(quant_rows(qt, ids))
+    full = dequantize(w_q, scales, biases, 4, 64)
+    np.testing.assert_allclose(rows, full[np.asarray(ids)], atol=1e-6)
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    tok = make_synthetic_tokenizer()
+    config = WhisperConfig(
+        n_mels=80, n_vocab=tok.n_vocab,
+        n_audio_state=64, n_audio_head=4, n_audio_layer=2,
+        n_text_state=64, n_text_head=4, n_text_layer=2,
+    )
+    params = init_params(config, seed=0)
+    rng = np.random.default_rng(5)
+    mel = rng.standard_normal((1, 3000, 80)).astype(np.float32)
+    return params, config, tok, jnp.asarray(mel)
+
+
+def test_quantized_decode_matches_dequantized_fp(tiny):
+    """Quantized model must equal the fp model built from dequantized
+    weights — token-for-token (proves the quant matmul path is exact)."""
+    params, config, tok, mel = tiny
+    qparams = quantize_params(params, bits=4, group_size=64)
+
+    def dequant_tree(node):
+        if isinstance(node, dict):
+            return {k: dequant_tree(v) for k, v in node.items()}
+        if isinstance(node, list):
+            return [dequant_tree(v) for v in node]
+        if isinstance(node, QuantTensor):
+            return node  # handled by parent
+        return node
+
+    # build fp params where every QuantTensor is replaced by dequantized fp
+    def to_fp(node):
+        if isinstance(node, QuantTensor):
+            return node.dequantize()  # (out, in) — needs transpose for "w"
+        if isinstance(node, dict):
+            out = {}
+            for k, v in node.items():
+                if k == "w" and isinstance(v, QuantTensor):
+                    out[k] = v.dequantize().T  # back to (in, out)
+                elif k == "token_emb" and isinstance(v, QuantTensor):
+                    out[k] = v.dequantize()  # (vocab, d) stays
+                else:
+                    out[k] = to_fp(v)
+            return out
+        if isinstance(node, list):
+            return [to_fp(v) for v in node]
+        return node
+
+    fp_params = to_fp(qparams)
+    opts = DecodingOptions(sample_len=16)
+    r_q = decode(qparams, mel, tok, config, opts)
+    r_fp = decode(fp_params, mel, tok, config, opts)
+    assert [r.tokens for r in r_q] == [r.tokens for r in r_fp]
+    np.testing.assert_allclose(r_q[0].avg_logprob, r_fp[0].avg_logprob, atol=1e-4)
+
+
+def test_quantized_model_close_to_fp(tiny):
+    """4-bit decode should stay close to fp (same first tokens on an easy
+    argmax): sanity that quantization error is bounded, not exploding."""
+    params, config, tok, mel = tiny
+    qparams = quantize_params(params, bits=8, group_size=64)
+    r_fp = decode(params, mel, tok, config, DecodingOptions(sample_len=8))
+    r_q = decode(qparams, mel, tok, config, DecodingOptions(sample_len=8))
+    assert abs(r_fp[0].avg_logprob - r_q[0].avg_logprob) < 0.5
+
+
+def test_mlx_export_load_roundtrip(tiny, tmp_path):
+    from whisper_mlx_tpu.checkpoint.quant_loader import export_mlx_whisper, load_mlx_whisper
+
+    params, config, tok, mel = tiny
+
+    # fp roundtrip
+    export_mlx_whisper(params, config, tmp_path / "fp")
+    p2, c2 = load_mlx_whisper(tmp_path / "fp")
+    assert c2 == config
+    r1 = decode(params, mel, tok, config, DecodingOptions(sample_len=8))
+    r2 = decode(p2, mel, tok, c2, DecodingOptions(sample_len=8))
+    assert [r.tokens for r in r1] == [r.tokens for r in r2]
+
+    # quantized roundtrip
+    qparams = quantize_params(params, bits=4, group_size=64)
+    export_mlx_whisper(qparams, config, tmp_path / "q4",
+                       quantization={"bits": 4, "group_size": 64})
+    p3, c3 = load_mlx_whisper(tmp_path / "q4")
+    r3 = decode(qparams, mel, tok, config, DecodingOptions(sample_len=8))
+    r4 = decode(p3, mel, tok, c3, DecodingOptions(sample_len=8))
+    assert [r.tokens for r in r3] == [r.tokens for r in r4]

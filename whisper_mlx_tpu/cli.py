@@ -71,7 +71,10 @@ def build_parser() -> argparse.ArgumentParser:
 
 def load_model(model: str, model_dir: str | None):
     """Resolve --model to (params, config, tokenizer)."""
+    import json
+
     from whisper_mlx_tpu.checkpoint.hf_loader import load_whisper
+    from whisper_mlx_tpu.checkpoint.quant_loader import load_mlx_whisper
     from whisper_mlx_tpu.decoding.tokenizer import load_tokenizer, make_synthetic_tokenizer
     from whisper_mlx_tpu.models.whisper import WHISPER_CONFIGS, init_params
 
@@ -79,7 +82,11 @@ def load_model(model: str, model_dir: str | None):
     if not path.exists() and model_dir:
         path = Path(model_dir) / model.replace("/", "--")
     if path.exists():
-        params, config = load_whisper(path)
+        cfg = json.loads((path / "config.json").read_text())
+        if "n_audio_state" in cfg:  # MLX-format checkpoint (mlx-community)
+            params, config = load_mlx_whisper(path)
+        else:  # HF-format checkpoint
+            params, config = load_whisper(path)
         num_languages = 100 if config.n_vocab == 51866 else 99
         try:
             tokenizer = load_tokenizer(path, num_languages=num_languages)

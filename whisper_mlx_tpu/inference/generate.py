@@ -1,0 +1,255 @@
+"""LLM generation engine: KV-cached decode with sampling + streaming.
+
+Replaces the reference's ``mlx_lm.load``/``mlx_lm.generate`` usage
+(reference ``llm.py:155-193``, ``daemon/chat.py:153-215``): ChatML prompt
+building, prefill + incremental decode over the Qwen model, temperature /
+top-p / top-k sampling, stop-token handling, and a streaming generator
+(feeds the daemon's SSE path, reference ``daemon/server.py:821+``).
+
+Two loops:
+- :meth:`LLMEngine.generate` — whole loop in one jit (fastest; batch-able);
+- :meth:`LLMEngine.stream_generate` — host loop around the jitted single
+  step, yielding decoded text increments per token.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any, Callable, Iterator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from whisper_mlx_tpu.models.qwen import (
+    Params,
+    QwenConfig,
+    decode_step,
+    init_kv_cache,
+)
+
+# ---------------------------------------------------------------------------
+# sampling (pure, jit-safe)
+# ---------------------------------------------------------------------------
+
+
+def sample_token(
+    logits: jnp.ndarray,  # (b, V) fp32
+    rng: jax.Array,
+    temperature: jnp.ndarray,  # scalar, traced
+    top_p: float = 1.0,
+    top_k: int = 0,
+) -> jnp.ndarray:
+    """Greedy at temperature 0, else nucleus/top-k sampling."""
+    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    scaled = logits / jnp.maximum(temperature, 1e-6)
+
+    if top_k and top_k > 0:
+        kth = jnp.sort(scaled, axis=-1)[:, -top_k][:, None]
+        scaled = jnp.where(scaled < kth, -jnp.inf, scaled)
+    if top_p < 1.0:
+        sorted_logits = jnp.sort(scaled, axis=-1)[:, ::-1]
+        probs = jax.nn.softmax(sorted_logits, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        # keep smallest prefix with cumulative mass > top_p (always ≥ 1 tok)
+        cutoff_idx = jnp.sum(cum < top_p, axis=-1)
+        cutoff = jnp.take_along_axis(sorted_logits, cutoff_idx[:, None], axis=-1)
+        scaled = jnp.where(scaled < cutoff, -jnp.inf, scaled)
+
+    sampled = jax.random.categorical(rng, scaled, axis=-1).astype(jnp.int32)
+    return jnp.where(temperature > 0, sampled, greedy)
+
+
+# ---------------------------------------------------------------------------
+# chat template (ChatML — the Qwen family format)
+# ---------------------------------------------------------------------------
+
+
+def apply_chat_template(
+    messages: list[dict[str, str]],
+    add_generation_prompt: bool = True,
+    enable_thinking: bool = False,
+) -> str:
+    """Qwen ChatML template (mirrors tokenizer.apply_chat_template usage at
+    reference ``daemon/chat.py:194-198``)."""
+    parts = []
+    for m in messages:
+        parts.append(f"<|im_start|>{m['role']}\n{m['content']}<|im_end|>\n")
+    if add_generation_prompt:
+        parts.append("<|im_start|>assistant\n")
+        if not enable_thinking:
+            parts.append("<think>\n\n</think>\n\n")
+    return "".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# engine
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class GenerationResult:
+    text: str
+    tokens: list[int]
+    prompt_tokens: int
+    generation_tokens: int
+    prompt_tps: float
+    generation_tps: float
+
+
+@partial(jax.jit, static_argnames=("config", "max_new", "max_len", "top_p", "top_k"))
+def _generate_jit(
+    params: Params,
+    prompt: jnp.ndarray,  # (b, t)
+    temperature: jnp.ndarray,
+    rng: jax.Array,
+    stop_tokens: jnp.ndarray,  # (n_stop,) int32, -1 padded
+    config: QwenConfig,
+    max_new: int,
+    max_len: int,
+    top_p: float,
+    top_k: int,
+):
+    b, t0 = prompt.shape
+    cache = init_kv_cache(config, b, max_len)
+    logits, cache = decode_step(params, prompt, jnp.int32(0), cache, config)
+    last = logits[:, -1].astype(jnp.float32)
+
+    buf = jnp.zeros((b, max_new), jnp.int32)
+
+    def cond(s):
+        i, _, _, _, done, _ = s
+        return (i < max_new) & ~jnp.all(done)
+
+    def body(s):
+        i, last, cache, buf, done, key = s
+        key, sub = jax.random.split(key)
+        tok = sample_token(last, sub, temperature, top_p, top_k)
+        is_stop = jnp.any(tok[:, None] == stop_tokens[None, :], axis=1)
+        buf = jax.lax.dynamic_update_slice(buf, tok[:, None], (0, i))
+        done_now = done | is_stop
+        logits, cache = decode_step(params, tok[:, None], t0 + i, cache, config)
+        return (i + 1, logits[:, -1].astype(jnp.float32), cache, buf, done_now, key)
+
+    i, _, _, buf, done, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), last, cache, buf, jnp.zeros(b, bool), rng)
+    )
+    return buf, i
+
+
+class LLMEngine:
+    """Loaded model + tokenizer; the reference's ``QwenModel`` equivalent."""
+
+    def __init__(self, params: Params, config: QwenConfig, tokenizer,
+                 max_context: int = 4096):
+        self.params = params
+        self.config = config
+        self.tokenizer = tokenizer
+        self.max_context = max_context
+
+    # stop tokens: <|im_end|> + eos
+    def _stop_ids(self) -> list[int]:
+        stops = []
+        for attr in ("eos_token_id", "im_end_id"):
+            v = getattr(self.tokenizer, attr, None)
+            if isinstance(v, int):
+                stops.append(v)
+            elif isinstance(v, (list, tuple)):
+                stops.extend(v)
+        for text in ("<|im_end|>", "<|endoftext|>"):
+            try:
+                ids = self.tokenizer.encode(text)
+                if len(ids) == 1:
+                    stops.append(ids[0])
+            except Exception:
+                pass
+        return sorted(set(stops)) or [0]
+
+    def generate(
+        self,
+        prompt: str,
+        max_tokens: int = 512,
+        temperature: float = 0.7,
+        top_p: float = 1.0,
+        top_k: int = 0,
+        seed: int = 0,
+    ) -> GenerationResult:
+        if max_tokens <= 0:
+            return GenerationResult(text="", tokens=[], prompt_tokens=len(self.tokenizer.encode(prompt)),
+                                    generation_tokens=0, prompt_tps=0.0, generation_tps=0.0)
+        ids = self.tokenizer.encode(prompt)
+        if not ids:
+            raise ValueError("generate() requires a non-empty prompt")
+        ids = ids[-(self.max_context - max_tokens):]
+        t_prompt0 = time.perf_counter()
+        prompt_arr = jnp.asarray([ids], jnp.int32)
+        stops = self._stop_ids()
+        stop_arr = jnp.asarray(stops, jnp.int32)
+        buf, n = _generate_jit(
+            self.params, prompt_arr, jnp.float32(temperature),
+            jax.random.PRNGKey(seed), stop_arr,
+            config=self.config, max_new=max_tokens,
+            max_len=self.max_context, top_p=top_p, top_k=top_k,
+        )
+        buf = np.asarray(buf)[0]
+        n = int(n)
+        dt = time.perf_counter() - t_prompt0
+        toks = buf[:n].tolist()
+        while toks and toks[-1] in stops:
+            toks = toks[:-1]
+        text = self.tokenizer.decode(toks)
+        return GenerationResult(
+            text=text, tokens=toks, prompt_tokens=len(ids),
+            generation_tokens=len(toks),
+            prompt_tps=len(ids) / max(dt, 1e-9),
+            generation_tps=len(toks) / max(dt, 1e-9),
+        )
+
+    def stream_generate(
+        self,
+        prompt: str,
+        max_tokens: int = 512,
+        temperature: float = 0.7,
+        top_p: float = 1.0,
+        top_k: int = 0,
+        seed: int = 0,
+    ) -> Iterator[str]:
+        """Yield decoded text increments token by token (SSE feed)."""
+        ids = self.tokenizer.encode(prompt)[-(self.max_context - max_tokens):]
+        stops = set(self._stop_ids())
+        cache = init_kv_cache(self.config, 1, self.max_context)
+        logits, cache = decode_step(
+            self.params, jnp.asarray([ids], jnp.int32), jnp.int32(0), cache, self.config
+        )
+        last = logits[:, -1].astype(jnp.float32)
+        key = jax.random.PRNGKey(seed)
+        out: list[int] = []
+        sent = 0
+        pos = len(ids)
+        for _ in range(max_tokens):
+            key, sub = jax.random.split(key)
+            tok = int(sample_token(last, sub, jnp.float32(temperature), top_p, top_k)[0])
+            if tok in stops:
+                break
+            out.append(tok)
+            text = self.tokenizer.decode(out)
+            if not text.endswith("�") and len(text) > sent:
+                yield text[sent:]
+                sent = len(text)
+            logits, cache = decode_step(
+                self.params, jnp.asarray([[tok]], jnp.int32), jnp.int32(pos), cache, self.config
+            )
+            last = logits[:, -1].astype(jnp.float32)
+            pos += 1
+
+    def chat(
+        self,
+        messages: list[dict[str, str]],
+        max_tokens: int = 512,
+        temperature: float = 0.7,
+        **kw,
+    ) -> GenerationResult:
+        prompt = apply_chat_template(messages)
+        return self.generate(prompt, max_tokens=max_tokens, temperature=temperature, **kw)

@@ -48,6 +48,9 @@ class WhisperConfig:
     n_text_layer: int = 4
     # compute dtype: bf16 rides the MXU; fp32 is the parity/testing mode
     dtype: Any = jnp.float32
+    # encoder attention via the Pallas flash kernel (ops/flash_attention.py);
+    # avoids materializing (B, H, 1500, 1500) score tensors
+    flash_attention: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -102,10 +105,34 @@ def layer_norm(x: jnp.ndarray, p: Params, eps: float = 1e-5) -> jnp.ndarray:
 
 
 def linear(x: jnp.ndarray, p: Params) -> jnp.ndarray:
-    y = x @ p["w"].astype(x.dtype)
+    w = p["w"]
+    if type(w).__name__ == "QuantTensor":  # quantized path (ops/quant.py)
+        from whisper_mlx_tpu.ops.quant import quant_matmul
+
+        y = quant_matmul(x, w)
+    else:
+        y = x @ w.astype(x.dtype)
     if "b" in p:
         y = y + p["b"].astype(x.dtype)
     return y
+
+
+def embed_tokens(emb, tokens: jnp.ndarray, dtype) -> jnp.ndarray:
+    """Token embedding lookup; quantized tables gather+dequant rows only."""
+    if type(emb).__name__ == "QuantTensor":
+        from whisper_mlx_tpu.ops.quant import quant_rows
+
+        return quant_rows(emb, tokens, dtype=dtype)
+    return emb.astype(dtype)[tokens]
+
+
+def embed_logits(emb, x: jnp.ndarray, dtype) -> jnp.ndarray:
+    """Tied-embedding output head: x (b,t,d) → logits (b,t,vocab)."""
+    if type(emb).__name__ == "QuantTensor":
+        from whisper_mlx_tpu.ops.quant import quant_matmul
+
+        return quant_matmul(x, emb)
+    return jnp.einsum("btd,vd->btv", x, emb.astype(dtype))
 
 
 def conv1d_nwc(x: jnp.ndarray, p: Params, stride: int) -> jnp.ndarray:
@@ -161,10 +188,17 @@ def mha(
     n_head: int,
     mask: jnp.ndarray | None = None,
     return_weights: bool = False,
+    use_flash: bool = False,
 ):
     q = _split_heads(linear(x, p["q"]), n_head)
     k = _split_heads(linear(kv_source, p["k"]), n_head)
     v = _split_heads(linear(kv_source, p["v"]), n_head)
+    if use_flash and not return_weights and mask is None:
+        from whisper_mlx_tpu.ops.flash_attention import flash_attention
+
+        scale = q.shape[-1] ** -0.25
+        out = flash_attention(q * scale, k * scale, v)
+        return linear(_merge_heads(out), p["o"]), None
     out, w = attention(q, k, v, mask, return_weights)
     return linear(_merge_heads(out), p["o"]), w
 
@@ -191,7 +225,8 @@ def encode(params: Params, mel: jnp.ndarray, config: WhisperConfig) -> jnp.ndarr
     x = x + p["pos_emb"].astype(x.dtype)
     for blk in p["blocks"]:
         h = layer_norm(x, blk["attn_ln"])
-        attn_out, _ = mha(h, h, blk["attn"], config.n_audio_head)
+        attn_out, _ = mha(h, h, blk["attn"], config.n_audio_head,
+                          use_flash=config.flash_attention)
         x = x + attn_out
         x = x + mlp(layer_norm(x, blk["mlp_ln"]), blk["mlp"])
     return layer_norm(x, p["ln_post"])
@@ -246,7 +281,7 @@ def decode_step(
     """
     p = params["decoder"]
     b, t = tokens.shape
-    x = p["token_emb"].astype(config.dtype)[tokens]
+    x = embed_tokens(p["token_emb"], tokens, config.dtype)
     x = x + jax.lax.dynamic_slice_in_dim(
         p["pos_emb"].astype(config.dtype), pos, t, axis=0
     )
@@ -281,7 +316,7 @@ def decode_step(
         x = x + mlp(layer_norm(x, blk["mlp_ln"]), blk["mlp"])
 
     x = layer_norm(x, p["ln"])
-    logits = jnp.einsum("btd,vd->btv", x, p["token_emb"].astype(config.dtype))
+    logits = embed_logits(p["token_emb"], x, config.dtype)
     logits = logits.astype(jnp.promote_types(logits.dtype, jnp.float32))
     cross = jnp.stack(cross_weights) if collect_cross_attn else None
     return logits, new_cache, cross

@@ -1,0 +1,130 @@
+"""Pallas TPU kernel: fused dequantize + matmul (weight-only int4/int8).
+
+The decode loop is HBM-bandwidth-bound: every step streams all decoder
+weights. MLX wins this on Metal with fused dequant-matmul kernels
+(SURVEY.md §2.3); this is the TPU equivalent. Reading packed uint32 weights
+moves 8× (int4) less HBM traffic than fp32 — the dequant happens in VMEM
+right before the MXU dot, never materializing the fp matrix in HBM.
+
+Mosaic-friendly construction (no minor-dim reshapes, which Mosaic rejects):
+the packed word matrix (N, K/per_word) is expanded into ``per_word`` 2-D
+bit-planes ``(wq >> i·bits) & mask`` concatenated along lanes — a *planar*
+column order. The matching permutation is applied to ``x``'s K axis outside
+the kernel (cheap XLA gather), keeping the contraction exact. Per-group
+scales/biases are spread from (N, groups) to (N, words) inside the kernel
+via a 0/1 expansion matmul built from iotas (plane-invariant: the group of
+word c is c // (group_size/per_word) for every bit-plane).
+
+Layout: x (M, K) fp · w_q (N, K·bits/32) uint32 (MLX (out,in) layout)
+→ out (M, N). Grid tiles N; K streams whole per tile.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from whisper_mlx_tpu.ops.quant import QuantTensor
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _quant_matmul_kernel(x_ref, wq_ref, scales_ref, biases_ref, out_ref,
+                         *, bits: int, group_size: int, out_dtype):
+    """One (M, TILE_N) output tile; x is pre-permuted to planar K order."""
+    x = x_ref[:].astype(jnp.float32)  # (M, K) planar
+    wq = wq_ref[:]  # (TILE_N, Kp) uint32, Kp = K/per_word
+    scales = scales_ref[:]  # (TILE_N, G)
+    biases = biases_ref[:]
+    per_word = 32 // bits
+    mask = jnp.uint32((1 << bits) - 1)
+    tile_n, kp = wq.shape
+    g = scales.shape[1]
+    words_per_group = group_size // per_word
+
+    # expand per-group affines to per-word via a 0/1 matmul (iota-built)
+    g_ids = jax.lax.broadcasted_iota(jnp.int32, (g, kp), 0)
+    c_ids = jax.lax.broadcasted_iota(jnp.int32, (g, kp), 1)
+    expand = (c_ids // words_per_group == g_ids).astype(jnp.float32)  # (G, Kp)
+    prec = jax.lax.Precision.HIGHEST
+    scale_w = jax.lax.dot(scales, expand, precision=prec)  # (TILE_N, Kp)
+    bias_w = jax.lax.dot(biases, expand, precision=prec)
+
+    planes = []
+    for i in range(per_word):
+        v = (wq >> jnp.uint32(i * bits)) & mask
+        v = pltpu.bitcast(v, jnp.int32).astype(jnp.float32)  # values < 2^bits
+        planes.append(v * scale_w + bias_w)
+    w_planar = jnp.concatenate(planes, axis=1)  # (TILE_N, per_word*Kp = K)
+
+    out_ref[:] = jax.lax.dot_general(
+        x, w_planar,
+        dimension_numbers=(((1,), (1,)), ((), ())),  # x @ w.T
+        preferred_element_type=jnp.float32,
+    ).astype(out_dtype)
+
+
+@functools.lru_cache(maxsize=32)
+def _planar_perm(k: int, per_word: int):
+    """perm[q] = original column of planar position q (q = plane*Kp + word)."""
+    import numpy as np
+
+    kp = k // per_word
+    q = np.arange(k)
+    return jnp.asarray((q % kp) * per_word + q // kp, jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def quant_matmul_pallas(x: jnp.ndarray, q: QuantTensor, interpret: bool = False) -> jnp.ndarray:
+    """``x @ dequant(q).T`` with fused in-kernel dequantization.
+
+    x: (..., K) → (..., N). M padded to the fp32 sublane tile, N to the
+    lane tile; K must be a multiple of group_size (all transformer dims).
+    """
+    *lead, K = x.shape
+    x2 = x.reshape(-1, K)
+    M = x2.shape[0]
+    N = q.shape[0]
+    bits, group_size = q.bits, q.group_size
+    per_word = 32 // bits
+
+    TILE_N = 256 if N % 256 == 0 else 128
+    Mp = _round_up(max(M, 8), 8)
+    Np = _round_up(N, TILE_N)
+
+    x_planar = x2[:, _planar_perm(K, per_word)]
+    x_pad = jnp.zeros((Mp, K), x2.dtype).at[:M].set(x_planar)
+    wq, scales, biases = q.w_q, q.scales, q.biases
+    if Np != N:
+        wq = jnp.zeros((Np, wq.shape[1]), wq.dtype).at[:N].set(wq)
+        scales = jnp.zeros((Np, scales.shape[1]), scales.dtype).at[:N].set(scales)
+        biases = jnp.zeros((Np, biases.shape[1]), biases.dtype).at[:N].set(biases)
+
+    grid = (Np // TILE_N,)
+    out = pl.pallas_call(
+        functools.partial(
+            _quant_matmul_kernel, bits=bits, group_size=group_size, out_dtype=x.dtype
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((Mp, K), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_N, K // per_word), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_N, K // group_size), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_N, K // group_size), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((Mp, TILE_N), lambda i: (0, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Mp, Np), x.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Mp * Np * K,
+            bytes_accessed=Mp * K * 4 + Np * K * bits // 8 + Mp * Np * 4,
+            transcendentals=0,
+        ),
+    )(x_pad, wq, scales, biases)
+    return out[:M, :N].reshape(*lead, N)
