@@ -1,0 +1,205 @@
+"""Backend E2E: spawn the real daemon as a subprocess, hit the HTTP surface.
+
+Reference strategy (``tests/test_daemon_e2e.py`` — SURVEY.md §4): daemon on
+a non-standard port, /health polling until ready, SIGTERM teardown; tests
+cover health/profile/tool listing, direct tool invocation, chat with a real
+(tiny random) model, and latency bounds on cheap endpoints.
+"""
+
+import json
+import os
+import signal
+import subprocess
+import sys
+import time
+import urllib.error
+import urllib.request
+
+import pytest
+
+PORT = 15997  # reference uses the same off-default port
+BASE = f"http://127.0.0.1:{PORT}"
+
+
+def _get(path: str, timeout: float = 30):
+    with urllib.request.urlopen(BASE + path, timeout=timeout) as r:
+        return r.status, json.loads(r.read())
+
+
+def _post(path: str, body: dict, timeout: float = 180):
+    req = urllib.request.Request(
+        BASE + path, data=json.dumps(body).encode(),
+        headers={"Content-Type": "application/json"}, method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=timeout) as r:
+        return r.status, json.loads(r.read())
+
+
+def _delete(path: str):
+    req = urllib.request.Request(BASE + path, method="DELETE")
+    with urllib.request.urlopen(req, timeout=30) as r:
+        return r.status, json.loads(r.read())
+
+
+@pytest.fixture(scope="module")
+def daemon(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("daemon")
+    env = dict(
+        os.environ,
+        JAX_PLATFORMS="cpu",
+        QWEN_SESSIONS_DIR=str(tmp / "sessions"),
+        QWEN_DATA_DIR=str(tmp / "data"),
+        MIRROR_DATA_DIR=str(tmp / "mirror"),
+        LINEAR_MIRROR_DIR=str(tmp / "linear"),
+        VIBEOS_SLACK_MIRROR_DIR=str(tmp / "slack"),
+    )
+    env.pop("QWEN_MODEL_PATH", None)  # tiny random model
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "whisper_mlx_tpu.serving.server",
+         "--port", str(PORT)],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+    )
+    # poll /health until ready (reference :106-122)
+    deadline = time.time() + 60
+    last_err = None
+    while time.time() < deadline:
+        try:
+            status, body = _get("/health", timeout=2)
+            if status == 200:
+                break
+        except (urllib.error.URLError, ConnectionError, OSError) as exc:
+            last_err = exc
+            time.sleep(0.3)
+    else:
+        proc.terminate()
+        out = proc.stdout.read().decode() if proc.stdout else ""
+        pytest.fail(f"daemon never became healthy: {last_err}\n{out[-2000:]}")
+    yield proc
+    proc.send_signal(signal.SIGTERM)
+    try:
+        proc.wait(timeout=10)
+    except subprocess.TimeoutExpired:
+        proc.kill()
+
+
+def test_health(daemon):
+    status, body = _get("/health")
+    assert status == 200
+    assert body["status"] == "ok"
+    assert set(body["profiles"]) == {"code_runner", "general", "mirror"}
+    assert body["tools_count"] == 24
+    assert "queue" in body
+
+
+def test_profiles_endpoints(daemon):
+    _, body = _get("/v1/profiles")
+    names = {p["name"] for p in body["profiles"]}
+    assert names == {"general", "mirror", "code_runner"}
+    status, body = _get("/v1/profiles/mirror")
+    assert status == 200 and len(body["tools"]) == 9
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        _get("/v1/profiles/nope")
+    assert exc.value.code == 404
+
+
+def test_tools_endpoints(daemon):
+    _, body = _get("/v1/tools")
+    assert len(body["tools"]) == 24
+    status, body = _get("/v1/tools/run_python")
+    assert body["name"] == "run_python"
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        _get("/v1/tools/nope")
+    assert exc.value.code == 404
+
+
+def test_direct_tool_invocation(daemon):
+    status, body = _post(
+        "/v1/tools/get_current_datetime/invoke", {"arguments": {}}
+    )
+    assert status == 200
+    assert body["tool_name"] == "get_current_datetime"
+    assert "utc" in body["result"]
+    assert body["latency_ms"] > 0
+
+    # legacy alias
+    status, body = _post(
+        "/v1/invoke-tool", {"tool_name": "run_python",
+                            "arguments": {"code": "print('ok')"}},
+    )
+    assert body["result"]["stdout"].strip() == "ok"
+
+
+def test_stateless_chat(daemon):
+    status, body = _post("/v1/chat", {"message": "hello", "profile": "general"})
+    assert status == 200
+    assert isinstance(body["response"], str)
+    assert body["rounds"] >= 1
+    assert body["queue_stats"]["was_queued"] in (False, True)
+    assert body["latency_ms"] > 0
+
+
+def test_chat_validation(daemon):
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        _post("/v1/chat", {"profile": "general"})
+    assert exc.value.code == 422
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        _post("/v1/chat", {"message": "x", "profile": "nope"})
+    assert exc.value.code == 404
+
+
+def test_session_lifecycle(daemon):
+    status, session = _post("/v1/sessions", {"profile": "general"})
+    assert status == 201
+    sid = session["id"]
+
+    status, body = _post(f"/v1/sessions/{sid}/chat", {"message": "remember Alice"})
+    assert status == 200
+    assert body["session"]["message_count"] == 2  # user + assistant
+
+    _, listing = _get("/v1/sessions")
+    assert any(s["id"] == sid for s in listing["sessions"])
+
+    _, full = _get(f"/v1/sessions/{sid}")
+    assert [m["role"] for m in full["messages"]] == ["user", "assistant"]
+
+    status, _ = _delete(f"/v1/sessions/{sid}")
+    assert status == 200
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        _get(f"/v1/sessions/{sid}")
+    assert exc.value.code == 404
+
+
+def test_session_chat_stream_sse(daemon):
+    _, session = _post("/v1/sessions", {"profile": "general"})
+    sid = session["id"]
+    req = urllib.request.Request(
+        f"{BASE}/v1/sessions/{sid}/chat/stream",
+        data=json.dumps({"message": "hi"}).encode(),
+        headers={"Content-Type": "application/json"}, method="POST",
+    )
+    events = []
+    with urllib.request.urlopen(req, timeout=180) as r:
+        assert r.headers["Content-Type"].startswith("text/event-stream")
+        for raw in r:
+            line = raw.decode().strip()
+            if line.startswith("data: "):
+                events.append(json.loads(line[6:]))
+    kinds = [e["event"] for e in events]
+    assert "complete" in kinds
+    complete = events[kinds.index("complete")]
+    assert "response" in complete and "queue_stats" in complete
+    assert all("timestamp" in e for e in events)
+
+
+def test_generation_status(daemon):
+    _, body = _get("/v1/generation/status")
+    assert body["queue_length"] == 0
+    assert body["active"] is None
+
+
+def test_cheap_endpoint_latency(daemon):
+    """/health and /v1/profiles < 100 ms (reference :726,734)."""
+    for path in ("/health", "/v1/profiles"):
+        t0 = time.perf_counter()
+        _get(path)
+        assert (time.perf_counter() - t0) < 0.1, path

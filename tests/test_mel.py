@@ -77,3 +77,47 @@ def test_wav_roundtrip(tmp_path):
     path.write_bytes(hdr + data)
     loaded = load_audio(path)
     np.testing.assert_allclose(loaded, pcm16.astype(np.float32) / 32768.0, atol=1e-6)
+
+
+def test_native_audio_parity(tmp_path):
+    """C++ WAV decode (native/audio.cc) must match the NumPy fallback."""
+    import struct
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    so = Path("whisper_mlx_tpu/native/libwhisper_tpu_native.so")
+    if not so.exists():
+        rc = subprocess.run(
+            [sys.executable, "-m", "whisper_mlx_tpu.native.build"]
+        ).returncode
+        if rc != 0:
+            pytest.skip("native build failed (no g++?)")
+
+    import importlib
+
+    import whisper_mlx_tpu.native as native
+
+    importlib.reload(native)
+    assert native.lib is not None
+
+    from whisper_mlx_tpu.audio.decode import _read_wav
+
+    audio = make_speechy_audio(seconds=1.0)
+    # stereo 24-bit to exercise the harder path
+    pcm = (np.clip(audio, -1, 1) * 8388607).astype(np.int32)
+    stereo = np.repeat(pcm, 2)
+    b = bytearray()
+    for v in stereo:
+        b += int(v & 0xFFFFFF).to_bytes(3, "little")
+    data = bytes(b)
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+    hdr += b"fmt " + struct.pack("<IHHIIHH", 16, 1, 2, 16_000, 96_000, 6, 24)
+    hdr += b"data" + struct.pack("<I", len(data))
+    path = tmp_path / "n.wav"
+    path.write_bytes(hdr + data)
+
+    a_native, r_native = native.lib.read_wav(path)
+    a_py, r_py = _read_wav(path)
+    assert r_native == r_py
+    np.testing.assert_allclose(a_native, a_py, atol=1e-6)

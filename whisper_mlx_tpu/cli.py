@@ -103,6 +103,10 @@ def load_model(model: str, model_dir: str | None):
 
 
 def main(argv: list[str] | None = None) -> int:
+    from whisper_mlx_tpu.runtime.platform import enable_compile_cache, ensure_platform
+
+    ensure_platform()
+    enable_compile_cache()
     args = build_parser().parse_args(argv)
 
     temperature = args.temperature

@@ -102,26 +102,33 @@ class GenerationResult:
 @partial(jax.jit, static_argnames=("config", "max_new", "max_len", "top_p", "top_k"))
 def _generate_jit(
     params: Params,
-    prompt: jnp.ndarray,  # (b, t)
+    prompt: jnp.ndarray,  # (b, t_padded) — right-padded to a length bucket
+    prompt_len: jnp.ndarray,  # scalar: true prompt length (traced)
+    requested: jnp.ndarray,  # scalar: user's max_tokens (traced, ≤ max_new)
     temperature: jnp.ndarray,
     rng: jax.Array,
-    stop_tokens: jnp.ndarray,  # (n_stop,) int32, -1 padded
+    stop_tokens: jnp.ndarray,  # (n_stop,) int32
     config: QwenConfig,
     max_new: int,
     max_len: int,
     top_p: float,
     top_k: int,
 ):
-    b, t0 = prompt.shape
+    """Prompt lengths are bucketed so one executable serves a whole bucket:
+    the prefill writes garbage KV at padded positions, but generated tokens
+    are placed from ``prompt_len`` onward and overwrite each slot before the
+    causal mask ever exposes it."""
+    b, _tpad = prompt.shape
+    t0 = prompt_len
     cache = init_kv_cache(config, b, max_len)
     logits, cache = decode_step(params, prompt, jnp.int32(0), cache, config)
-    last = logits[:, -1].astype(jnp.float32)
+    last = jax.lax.dynamic_slice_in_dim(logits, t0 - 1, 1, axis=1)[:, 0].astype(jnp.float32)
 
     buf = jnp.zeros((b, max_new), jnp.int32)
 
     def cond(s):
         i, _, _, _, done, _ = s
-        return (i < max_new) & ~jnp.all(done)
+        return (i < jnp.minimum(requested, max_new)) & ~jnp.all(done)
 
     def body(s):
         i, last, cache, buf, done, key = s
@@ -130,7 +137,9 @@ def _generate_jit(
         is_stop = jnp.any(tok[:, None] == stop_tokens[None, :], axis=1)
         buf = jax.lax.dynamic_update_slice(buf, tok[:, None], (0, i))
         done_now = done | is_stop
-        logits, cache = decode_step(params, tok[:, None], t0 + i, cache, config)
+        logits, cache = decode_step(
+            params, tok[:, None], (t0 + i).astype(jnp.int32), cache, config
+        )
         return (i + 1, logits[:, -1].astype(jnp.float32), cache, buf, done_now, key)
 
     i, _, _, buf, done, _ = jax.lax.while_loop(
@@ -148,6 +157,22 @@ class LLMEngine:
         self.config = config
         self.tokenizer = tokenizer
         self.max_context = max_context
+
+    PROMPT_BUCKET = 128  # prompt lengths rounded up → one jit per bucket
+
+    def _fit_context(self, ids: list[int], max_tokens: int) -> tuple[list[int], int]:
+        """Budget prompt + generation into max_context: keep the prompt tail
+        (chat history recency), always leave ≥64 tokens of generation room."""
+        ids = ids[-(self.max_context - 64):]
+        max_new = max(1, min(max_tokens, self.max_context - len(ids)))
+        return ids, max_new
+
+    def _bucket_prompt(self, ids: list[int]) -> tuple[list[int], int]:
+        """Right-pad to the bucket size → stable compile shapes."""
+        true_len = len(ids)
+        bucket = -(-true_len // self.PROMPT_BUCKET) * self.PROMPT_BUCKET
+        bucket = min(bucket, self.max_context)
+        return ids + [0] * (bucket - true_len), true_len
 
     # stop tokens: <|im_end|> + eos
     def _stop_ids(self) -> list[int]:
@@ -182,15 +207,18 @@ class LLMEngine:
         ids = self.tokenizer.encode(prompt)
         if not ids:
             raise ValueError("generate() requires a non-empty prompt")
-        ids = ids[-(self.max_context - max_tokens):]
+        ids, max_tokens = self._fit_context(ids, max_tokens)
         t_prompt0 = time.perf_counter()
-        prompt_arr = jnp.asarray([ids], jnp.int32)
+        padded, true_len = self._bucket_prompt(ids)
+        prompt_arr = jnp.asarray([padded], jnp.int32)
         stops = self._stop_ids()
         stop_arr = jnp.asarray(stops, jnp.int32)
+        # max_new bucketed too (coarser) so compile shapes stay stable
+        max_new = min(-(-max_tokens // 256) * 256, self.max_context)
         buf, n = _generate_jit(
-            self.params, prompt_arr, jnp.float32(temperature),
-            jax.random.PRNGKey(seed), stop_arr,
-            config=self.config, max_new=max_tokens,
+            self.params, prompt_arr, jnp.int32(true_len), jnp.int32(max_tokens),
+            jnp.float32(temperature), jax.random.PRNGKey(seed), stop_arr,
+            config=self.config, max_new=max_new,
             max_len=self.max_context, top_p=top_p, top_k=top_k,
         )
         buf = np.asarray(buf)[0]
@@ -217,13 +245,18 @@ class LLMEngine:
         seed: int = 0,
     ) -> Iterator[str]:
         """Yield decoded text increments token by token (SSE feed)."""
-        ids = self.tokenizer.encode(prompt)[-(self.max_context - max_tokens):]
+        ids = self.tokenizer.encode(prompt)
+        if not ids:
+            raise ValueError("stream_generate() requires a non-empty prompt")
+        ids, max_tokens = self._fit_context(ids, max_tokens)
+        padded, true_len = self._bucket_prompt(ids)
         stops = set(self._stop_ids())
         cache = init_kv_cache(self.config, 1, self.max_context)
         logits, cache = decode_step(
-            self.params, jnp.asarray([ids], jnp.int32), jnp.int32(0), cache, self.config
+            self.params, jnp.asarray([padded], jnp.int32), jnp.int32(0), cache, self.config
         )
-        last = logits[:, -1].astype(jnp.float32)
+        last = logits[:, true_len - 1].astype(jnp.float32)
+        ids = ids[:true_len]
         key = jax.random.PRNGKey(seed)
         out: list[int] = []
         sent = 0
