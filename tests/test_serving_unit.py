@@ -201,3 +201,57 @@ def test_profiles_match_reference_shape():
     assert code_runner.max_tool_rounds == 10
     with pytest.raises(ValueError):
         get_profile("nope")
+
+
+# -- legacy agent loop -------------------------------------------------------
+
+
+def test_tool_calling_agent_loop():
+    """ToolCallingAgent: tool round + think-nudge + final answer, with a
+    scripted fake model (no weights needed)."""
+    import json as _json
+
+    from whisper_mlx_tpu.agents.agent import ToolCallingAgent
+    from whisper_mlx_tpu.serving.tools.base import tool
+    from whisper_mlx_tpu.serving.tools.registry import get_registry
+
+    calls = {"n": 0}
+
+    class FakeModel:
+        def __init__(self, script):
+            self.script = script
+
+        def generate(self, messages, max_tokens, temperature):
+            out = self.script[calls["n"]]
+            calls["n"] += 1
+            return out
+
+    reg = get_registry()
+    dt_tool = reg.get("get_current_datetime")
+    model = FakeModel([
+        '<tool_call>{"name": "get_current_datetime", "arguments": {}}</tool_call>',
+        "<think>still thinking...</think>",  # triggers the nudge
+        "The time is now.",
+    ])
+    agent = ToolCallingAgent(model=model, tools=[dt_tool], verbose=False,
+                             max_tool_rounds=5)
+    answer = agent.run("what time is it?")
+    assert answer == "The time is now."
+    assert calls["n"] == 3
+    # history captured for multi-turn REPL use
+    assert agent.history[-1]["content"] == "The time is now."
+
+
+def test_tool_calling_agent_round_limit():
+    from whisper_mlx_tpu.agents.agent import ToolCallingAgent
+    from whisper_mlx_tpu.serving.tools.registry import get_registry
+
+    class LoopModel:
+        def generate(self, messages, max_tokens, temperature):
+            return '<tool_call>{"name": "get_current_datetime", "arguments": {}}</tool_call>'
+
+    agent = ToolCallingAgent(
+        model=LoopModel(), tools=[get_registry().get("get_current_datetime")],
+        verbose=False, max_tool_rounds=2,
+    )
+    assert "limit" in agent.run("loop forever")

@@ -480,10 +480,25 @@ async def transcribe_endpoint(request: web.Request) -> web.Response:
 # ---------------------------------------------------------------------------
 
 
-def create_app(preload: bool = False, whisper_model: str | None = None) -> web.Application:
+def create_app(preload: bool = False, whisper_model: str | None = None,
+               serve_ui: bool = False) -> web.Application:
     app = web.Application(client_max_size=256 * 1024 * 1024)
     app["state"] = AppState()
     app["asr"] = None
+
+    if serve_ui:
+        from pathlib import Path
+
+        ui_dir = Path(__file__).resolve().parents[2] / "frontend"
+        if ui_dir.exists():
+            async def ui_index(request: web.Request) -> web.FileResponse:
+                return web.FileResponse(ui_dir / "index.html")
+
+            app.router.add_get("/ui", ui_index)
+            app.router.add_get("/", ui_index)
+            app.router.add_static("/ui/", ui_dir)
+        else:
+            logger.warning("frontend/ not found; --ui ignored")
 
     app.router.add_get("/health", health)
     app.router.add_get("/v1/tools", list_tools)
@@ -554,8 +569,11 @@ def main(argv: list[str] | None = None) -> int:
                         help="load the LLM at startup (reference behavior)")
     parser.add_argument("--whisper-model", default=None,
                         help="model dir/name for /v1/transcribe")
+    parser.add_argument("--ui", action="store_true",
+                        help="serve the web UI from frontend/ at /ui")
     args = parser.parse_args(argv)
-    app = create_app(preload=args.preload, whisper_model=args.whisper_model)
+    app = create_app(preload=args.preload, whisper_model=args.whisper_model,
+                     serve_ui=args.ui)
     web.run_app(app, host=args.host, port=args.port)
     return 0
 
