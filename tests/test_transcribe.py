@@ -37,7 +37,7 @@ def test_transcribe_contract(tiny):
         audio, params=params, config=config, tokenizer=tok,
         temperature=0.0, verbose=False,
     )
-    assert set(result) == {"text", "segments", "language"}
+    assert set(result) >= {"text", "segments", "language"}
     assert isinstance(result["text"], str)
     assert result["language"] == "en"
     for seg in result["segments"]:
@@ -66,7 +66,7 @@ def test_transcribe_batched_mode(tiny):
         audio, params=params, config=config, tokenizer=tok,
         temperature=0.0, batch_windows=True, window_batch_size=2, verbose=False,
     )
-    assert set(result) == {"text", "segments", "language"}
+    assert set(result) >= {"text", "segments", "language"}
     starts = [seg["start"] for seg in result["segments"]]
     assert starts == sorted(starts)
 

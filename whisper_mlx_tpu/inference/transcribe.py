@@ -89,6 +89,7 @@ def transcribe(
     verbose: bool | None = None,
     batch_windows: bool = False,
     window_batch_size: int = 8,
+    stage_timer: "Any | None" = None,  # runtime.profiling.StageTimer
     **decode_options: Any,
 ) -> dict[str, Any]:
     """→ ``{"text", "segments", "language"}`` (reference public contract,
@@ -99,9 +100,15 @@ def transcribe(
         audio = load_audio(audio)
     audio = np.asarray(audio, np.float32)
 
+    if stage_timer is None:
+        from whisper_mlx_tpu.runtime.profiling import StageTimer
+
+        stage_timer = StageTimer()
+
     # mel over content + 30 s of zero padding (so the last window is full)
     padded = np.concatenate([audio, np.zeros(N_SAMPLES, np.float32)])
-    mel_all = np.asarray(log_mel_spectrogram(jnp.asarray(padded), n_mels=config.n_mels))
+    with stage_timer.stage("mel"):
+        mel_all = np.asarray(log_mel_spectrogram(jnp.asarray(padded), n_mels=config.n_mels))
     content_frames = mel_all.shape[0] - N_FRAMES
     content_duration = content_frames * HOP_LENGTH / SAMPLE_RATE
 
@@ -152,7 +159,8 @@ def transcribe(
         initial_prompt_tokens = []
 
     def decode_with_fallback(segment_mel: np.ndarray, prompt: list[int] | None) -> DecodingResult:
-        states = encode(params, jnp.asarray(segment_mel)[None], config)
+        with stage_timer.stage("encode"):
+            states = encode(params, jnp.asarray(segment_mel)[None], config)
         result: DecodingResult | None = None
         for i, t in enumerate(temperatures):
             opts = DecodingOptions(
@@ -164,11 +172,12 @@ def transcribe(
                 # beam/patience only apply at t==0 (reference ladder semantics)
                 opts = replace(opts, beam_size=None, patience=None,
                                best_of=opts.best_of or 5)
-            result = decode(
-                params, states, tokenizer, config, opts,
-                states_precomputed=True,
-                rng=jax.random.PRNGKey(int(t * 1000) + 17 * len(all_segments)),
-            )[0]
+            with stage_timer.stage("decode"):
+                result = decode(
+                    params, states, tokenizer, config, opts,
+                    states_precomputed=True,
+                    rng=jax.random.PRNGKey(int(t * 1000) + 17 * len(all_segments)),
+                )[0]
             needs_fallback = False
             if (compression_ratio_threshold is not None
                     and result.compression_ratio > compression_ratio_threshold):
@@ -277,12 +286,13 @@ def transcribe(
             if word_timestamps:
                 from whisper_mlx_tpu.inference.word_timestamps import add_word_timestamps
 
-                add_word_timestamps(
-                    current_segments, params, config, tokenizer,
-                    np.asarray(mel_segment), time_offset,
-                    prepend_punctuations, append_punctuations,
-                    num_frames=segment_size,
-                )
+                with stage_timer.stage("align"):
+                    add_word_timestamps(
+                        current_segments, params, config, tokenizer,
+                        np.asarray(mel_segment), time_offset,
+                        prepend_punctuations, append_punctuations,
+                        num_frames=segment_size,
+                    )
                 # hallucination-silence skip (the reference launcher passes
                 # threshold=1 — reference run:6)
                 if hallucination_silence_threshold is not None:
@@ -313,6 +323,7 @@ def transcribe(
         "text": text,
         "segments": [s.to_dict() for s in all_segments],
         "language": language,
+        "stages": stage_timer.summary(),
     }
 
 

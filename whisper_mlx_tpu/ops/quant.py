@@ -103,8 +103,26 @@ def dequantize(w_q, scales, biases, bits: int, group_size: int,
     return w.reshape(out_dim, in_dim)
 
 
-def quant_matmul(x: jnp.ndarray, q: QuantTensor, backend: str = "xla") -> jnp.ndarray:
-    """``x @ dequant(q).T`` — x (..., in) → (..., out)."""
+def quant_matmul(x: jnp.ndarray, q: QuantTensor, backend: str = "auto") -> jnp.ndarray:
+    """``x @ dequant(q).T`` — x (..., in) → (..., out).
+
+    backend="auto": on TPU, decode-shaped calls (few rows) use the fused
+    Pallas dequant kernel — XLA's dequant-then-matmul materializes the fp
+    weight matrix in HBM every step, which measured SLOWER than bf16 for
+    the HBM-bound decode loop. Large-M calls (encoder/prefill) keep the XLA
+    path, whose GEMM cost dominates and whose x tile would not fit VMEM.
+    """
+    if backend == "auto":
+        import jax
+
+        rows = 1
+        for d in x.shape[:-1]:
+            rows *= d
+        backend = (
+            "pallas"
+            if jax.default_backend() == "tpu" and rows <= 512
+            else "xla"
+        )
     if backend == "pallas":
         from whisper_mlx_tpu.ops.quant_pallas import quant_matmul_pallas
 
