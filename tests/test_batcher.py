@@ -1,0 +1,81 @@
+"""Continuous-batching scheduler: cross-request window batching."""
+
+import asyncio
+
+import numpy as np
+import pytest
+
+import torch  # noqa: F401
+import jax.numpy as jnp
+
+from tests.conftest import make_speechy_audio
+from whisper_mlx_tpu.decoding.task import DecodingOptions
+from whisper_mlx_tpu.decoding.tokenizer import make_synthetic_tokenizer
+from whisper_mlx_tpu.models.whisper import WhisperConfig, init_params
+from whisper_mlx_tpu.runtime.batcher import TranscriptionBatcher
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    tok = make_synthetic_tokenizer()
+    config = WhisperConfig(
+        n_mels=80, n_vocab=tok.n_vocab,
+        n_audio_state=64, n_audio_head=4, n_audio_layer=2,
+        n_text_state=64, n_text_head=4, n_text_layer=2,
+    )
+    return init_params(config, seed=0), config, tok
+
+
+def test_concurrent_requests_share_batches(tiny):
+    params, config, tok = tiny
+    batcher = TranscriptionBatcher(
+        params, config, tok, batch_size=4, max_wait_ms=200,
+        decoding=DecodingOptions(sample_len=8),
+    )
+
+    async def run():
+        a = make_speechy_audio(seconds=65.0)   # 3 windows
+        b = make_speechy_audio(seconds=20.0, seed=1)  # 1 window
+        r_a, r_b = await asyncio.gather(
+            batcher.transcribe(a), batcher.transcribe(b)
+        )
+        batcher.shutdown()
+        return r_a, r_b
+
+    r_a, r_b = asyncio.run(run())
+    assert set(r_a) >= {"text", "segments", "language"}
+    # request A spans 3 windows → seeks cover 0, 3000, 6000
+    seeks = sorted({s["seek"] for s in r_a["segments"]})
+    assert seeks and seeks[0] == 0
+    # the 4 windows fit one batch: ≤2 flushes even with scheduling noise
+    assert batcher.stats["windows"] == 4
+    assert batcher.stats["batches"] <= 2
+
+
+def test_batcher_matches_batched_transcribe(tiny):
+    """Batcher output must equal transcribe(batch_windows=True) segment
+    text/tokens for the same audio (same decode path, same windows)."""
+    from whisper_mlx_tpu.inference.transcribe import transcribe
+
+    params, config, tok = tiny
+    audio = make_speechy_audio(seconds=40.0)
+
+    batcher = TranscriptionBatcher(
+        params, config, tok, batch_size=2, max_wait_ms=10,
+        decoding=DecodingOptions(sample_len=8),
+    )
+
+    async def run():
+        r = await batcher.transcribe(audio)
+        batcher.shutdown()
+        return r
+
+    via_batcher = asyncio.run(run())
+    via_transcribe = transcribe(
+        audio, params=params, config=config, tokenizer=tok,
+        temperature=0.0, batch_windows=True, window_batch_size=2,
+        sample_len=8, no_speech_threshold=None, verbose=False,
+    )
+    toks_a = [s["tokens"] for s in via_batcher["segments"]]
+    toks_b = [s["tokens"] for s in via_transcribe["segments"]]
+    assert toks_a == toks_b

@@ -1,0 +1,207 @@
+"""Continuous batching for transcription serving.
+
+The reference serializes ALL generation behind one asyncio.Lock (reference
+``daemon/server.py:280,743``; SURVEY.md §2.4 calls this the opposite of
+parallelism). On TPU the economics invert: a decode step for 8 windows
+costs nearly the same as for 1, so the serving path batches windows
+ACROSS requests:
+
+    request A (90 s audio) → 3 windows ┐
+    request B (30 s audio) → 1 window  ├─→ one batch of ≤B windows
+    request C (60 s audio) → 2 windows ┘    → one encode + one decode loop
+
+A single worker drains a queue of window jobs, pads the batch to the fixed
+compile shape, runs the jitted pipeline once, and resolves per-request
+futures as their windows complete. Latency knob: ``max_wait_ms`` bounds how
+long a lone window waits for company.
+
+Semantics match ``transcribe(batch_windows=True)`` (fixed-stride windows,
+no conditioning on previous text — the reference launcher's configuration,
+reference ``run:5``).
+"""
+
+from __future__ import annotations
+
+import asyncio
+import time
+from dataclasses import dataclass, field
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from whisper_mlx_tpu.audio.mel import HOP_LENGTH, N_FRAMES, N_SAMPLES, SAMPLE_RATE, log_mel_spectrogram
+from whisper_mlx_tpu.decoding.task import DecodingOptions, decode
+from whisper_mlx_tpu.models.whisper import encode
+
+
+@dataclass
+class _WindowJob:
+    request_id: int
+    window_idx: int
+    mel: np.ndarray  # (3000, n_mels)
+    time_offset: float
+
+
+@dataclass
+class _Request:
+    n_windows: int
+    results: dict[int, Any] = field(default_factory=dict)
+    done: asyncio.Future = None  # type: ignore[assignment]
+
+
+class TranscriptionBatcher:
+    """Cross-request window batcher over one whisper model."""
+
+    def __init__(
+        self,
+        params,
+        config,
+        tokenizer,
+        batch_size: int = 8,
+        max_wait_ms: float = 50.0,
+        decoding: DecodingOptions | None = None,
+    ) -> None:
+        self.params = params
+        self.config = config
+        self.tokenizer = tokenizer
+        self.batch_size = batch_size
+        self.max_wait_ms = max_wait_ms
+        self.decoding = decoding or DecodingOptions()
+        self._queue: asyncio.Queue[_WindowJob] = asyncio.Queue()
+        self._requests: dict[int, _Request] = {}
+        self._next_id = 0
+        self._worker: asyncio.Task | None = None
+        self.stats = {"batches": 0, "windows": 0, "fill_sum": 0.0}
+
+    # -- public API ---------------------------------------------------------
+
+    async def transcribe(self, audio: np.ndarray) -> dict[str, Any]:
+        """Enqueue all windows of ``audio``; resolves when every window is
+        decoded. Returns the reference transcription dict."""
+        self._ensure_worker()
+        audio = np.asarray(audio, np.float32)
+        mel_all = np.asarray(
+            log_mel_spectrogram(
+                jnp.asarray(np.concatenate([audio, np.zeros(N_SAMPLES, np.float32)])),
+                n_mels=self.config.n_mels,
+            )
+        )
+        content_frames = max(mel_all.shape[0] - N_FRAMES, 1)
+        n_windows = max(1, -(-content_frames // N_FRAMES))
+
+        req_id = self._next_id
+        self._next_id += 1
+        request = _Request(n_windows=n_windows, done=asyncio.get_event_loop().create_future())
+        self._requests[req_id] = request
+
+        for w in range(n_windows):
+            seg = mel_all[w * N_FRAMES : w * N_FRAMES + N_FRAMES]
+            if seg.shape[0] < N_FRAMES:
+                seg = np.concatenate(
+                    [seg, np.zeros((N_FRAMES - seg.shape[0], seg.shape[1]), np.float32)]
+                )
+            await self._queue.put(_WindowJob(
+                request_id=req_id, window_idx=w, mel=seg,
+                time_offset=w * N_FRAMES * HOP_LENGTH / SAMPLE_RATE,
+            ))
+
+        results = await request.done
+        del self._requests[req_id]
+        return self._assemble(results)
+
+    def shutdown(self) -> None:
+        if self._worker is not None:
+            self._worker.cancel()
+            self._worker = None
+
+    # -- worker -------------------------------------------------------------
+
+    def _ensure_worker(self) -> None:
+        if self._worker is None or self._worker.done():
+            self._worker = asyncio.get_event_loop().create_task(self._run())
+
+    async def _run(self) -> None:
+        while True:
+            jobs = [await self._queue.get()]
+            deadline = time.monotonic() + self.max_wait_ms / 1000.0
+            while len(jobs) < self.batch_size:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0 and self._queue.empty():
+                    break
+                try:
+                    jobs.append(await asyncio.wait_for(
+                        self._queue.get(), timeout=max(remaining, 0.001)
+                    ))
+                except asyncio.TimeoutError:
+                    break
+            await asyncio.to_thread(self._flush, jobs)
+
+    def _flush(self, jobs: list[_WindowJob]) -> None:
+        real = len(jobs)
+        mel = np.stack([j.mel for j in jobs])
+        if real < self.batch_size:  # pad to the compile shape
+            mel = np.concatenate([
+                mel,
+                np.zeros((self.batch_size - real, *mel.shape[1:]), np.float32),
+            ])
+        states = encode(self.params, jnp.asarray(mel), self.config)
+        results = decode(
+            self.params, states, self.tokenizer, self.config, self.decoding,
+            states_precomputed=True,
+        )
+        self.stats["batches"] += 1
+        self.stats["windows"] += real
+        self.stats["fill_sum"] += real / self.batch_size
+        loop_results: list[tuple[_WindowJob, Any]] = list(zip(jobs, results[:real]))
+        for job, result in loop_results:
+            request = self._requests.get(job.request_id)
+            if request is None:
+                continue
+            request.results[job.window_idx] = (job.time_offset, result)
+            if len(request.results) == request.n_windows and not request.done.done():
+                request.done.get_loop().call_soon_threadsafe(
+                    request.done.set_result, dict(request.results)
+                )
+
+    # -- assembly -----------------------------------------------------------
+
+    def _assemble(self, results: dict[int, tuple[float, Any]]) -> dict[str, Any]:
+        input_stride = N_FRAMES // self.config.n_audio_ctx
+        time_precision = input_stride * HOP_LENGTH / SAMPLE_RATE
+        ts_begin = self.tokenizer.timestamp_begin
+        segments = []
+        for w in sorted(results):
+            time_offset, r = results[w]
+            tokens = np.asarray(r.tokens)
+            ts_mask = tokens >= ts_begin
+            consecutive = np.where(ts_mask[:-1] & ts_mask[1:])[0] + 1
+            bounds = [0] + consecutive.tolist() + [len(tokens)]
+            for b0, b1 in zip(bounds[:-1], bounds[1:]):
+                seg_toks = tokens[b0:b1]
+                if len(seg_toks) == 0:
+                    continue
+                ts_in = seg_toks[seg_toks >= ts_begin]
+                text = self.tokenizer.decode(
+                    [t for t in seg_toks.tolist() if t < self.tokenizer.eot]
+                )
+                if not text.strip():
+                    continue
+                segments.append({
+                    "id": len(segments),
+                    "seek": w * N_FRAMES,
+                    "start": time_offset + (float(ts_in[0] - ts_begin) * time_precision if len(ts_in) else 0.0),
+                    "end": time_offset + (float(ts_in[-1] - ts_begin) * time_precision if len(ts_in) else 30.0),
+                    "text": text,
+                    "tokens": list(map(int, seg_toks)),
+                    "temperature": r.temperature,
+                    "avg_logprob": r.avg_logprob,
+                    "compression_ratio": r.compression_ratio,
+                    "no_speech_prob": r.no_speech_prob,
+                })
+        return {
+            "text": "".join(s["text"] for s in segments),
+            "segments": segments,
+            "language": self.tokenizer.language,
+        }

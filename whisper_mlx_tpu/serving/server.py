@@ -466,11 +466,18 @@ async def transcribe_endpoint(request: web.Request) -> web.Response:
         return _error("no audio provided (multipart 'file' or JSON 'path')", 422)
 
     t0 = time.perf_counter()
-    result = await asyncio.to_thread(
-        transcribe, np.asarray(audio),
-        params=params, config=config, tokenizer=tokenizer, verbose=False,
-        **options,
-    )
+    batcher = app.get("batcher")
+    if batcher is not None and not options:
+        # continuous batching: windows from concurrent requests share device
+        # batches (runtime/batcher.py) — the TPU replacement for the
+        # reference's single-writer lock
+        result = await batcher.transcribe(np.asarray(audio))
+    else:
+        result = await asyncio.to_thread(
+            transcribe, np.asarray(audio),
+            params=params, config=config, tokenizer=tokenizer, verbose=False,
+            **options,
+        )
     result["latency_ms"] = (time.perf_counter() - t0) * 1000
     return _json(result)
 
@@ -530,6 +537,10 @@ def create_app(preload: bool = False, whisper_model: str | None = None,
             from whisper_mlx_tpu.cli import load_model
 
             app["asr"] = await asyncio.to_thread(load_model, whisper_model, None)
+            from whisper_mlx_tpu.runtime.batcher import TranscriptionBatcher
+
+            params, config, tokenizer = app["asr"]
+            app["batcher"] = TranscriptionBatcher(params, config, tokenizer)
         try:
             from whisper_mlx_tpu.serving.sync.scheduler import start_scheduler
 
@@ -538,6 +549,9 @@ def create_app(preload: bool = False, whisper_model: str | None = None,
             logger.info("sync scheduler not started: %s", exc)
 
     async def on_cleanup(app: web.Application) -> None:
+        batcher = app.get("batcher")
+        if batcher is not None:
+            batcher.shutdown()
         try:
             from whisper_mlx_tpu.serving.sync.scheduler import stop_scheduler
 
