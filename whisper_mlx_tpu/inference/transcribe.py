@@ -112,14 +112,28 @@ def transcribe(
     content_frames = mel_all.shape[0] - N_FRAMES
     content_duration = content_frames * HOP_LENGTH / SAMPLE_RATE
 
-    # language detection on the first window if unset
+    # language detection on the first window if unset (reference behavior:
+    # single [sot] forward, softmax over language tokens — SURVEY.md §2.1)
     language = decode_options.pop("language", None)
     task = decode_options.pop("task", "transcribe")
     if language is None:
-        if tokenizer.language:
-            language = tokenizer.language
+        if config.n_vocab < 51865:
+            language = "en"  # English-only / synthetic models
         else:
-            language = "en"
+            from whisper_mlx_tpu.decoding.task import detect_language
+
+            with stage_timer.stage("detect_language"):
+                first = mel_all[:N_FRAMES]
+                if first.shape[0] < N_FRAMES:
+                    first = np.concatenate([
+                        first,
+                        np.zeros((N_FRAMES - first.shape[0], first.shape[1]), np.float32),
+                    ])
+                states0 = encode(params, jnp.asarray(first)[None], config)
+                codes, _probs = detect_language(params, states0, tokenizer, config)
+                language = codes[0]
+            if verbose:
+                print(f"detected language: {language}")
     tokenizer.language = language
     tokenizer.task = task
 
