@@ -71,6 +71,49 @@ def _zeros_params(config, dtype):
     }
 
 
+def _zeros_quant_params(params, bits: int, group_size: int):
+    """QuantTensor placeholders with correct packed shapes, instant to build
+    (this box has ONE cpu core; real numpy quantization of 1.5B params takes
+    ~15 min — irrelevant for RTF, which only depends on shapes)."""
+    import jax.numpy as jnp
+
+    from whisper_mlx_tpu.ops.quant import QuantTensor
+
+    per_word = 32 // bits
+
+    def q_of(out_dim, in_dim):
+        return QuantTensor(
+            jnp.zeros((out_dim, in_dim // per_word), jnp.uint32),
+            jnp.ones((out_dim, in_dim // group_size), jnp.float32),
+            jnp.zeros((out_dim, in_dim // group_size), jnp.float32),
+            bits, group_size,
+        )
+
+    def walk(node):
+        if isinstance(node, dict):
+            if "w" in node and getattr(node["w"], "ndim", 0) == 2:
+                n_in, n_out = node["w"].shape
+                if n_in % group_size == 0:
+                    new = {"w": q_of(n_out, n_in)}
+                    if "b" in node:
+                        new["b"] = node["b"]
+                    return new
+                return node
+            return {k: walk(v) for k, v in node.items()}
+        if isinstance(node, list):
+            return [walk(v) for v in node]
+        return node
+
+    out = {"encoder": walk(params["encoder"]), "decoder": {}}
+    for name, val in params["decoder"].items():
+        if name == "token_emb":
+            v_dim, d = val.shape
+            out["decoder"][name] = q_of(v_dim, d) if d % group_size == 0 else val
+        else:
+            out["decoder"][name] = walk(val)
+    return out
+
+
 def main() -> None:
     import dataclasses
 
@@ -110,14 +153,7 @@ def main() -> None:
 
     params = _zeros_params(config, jnp.bfloat16)
     if quant_bits:
-        import jax.numpy as _jnp
-
-        from whisper_mlx_tpu.ops.quant import quantize_params
-
-        params = quantize_params(
-            jax.tree.map(lambda a: np.asarray(a, np.float32), params),
-            bits=quant_bits, group_size=64,
-        )
+        params = _zeros_quant_params(params, quant_bits, group_size=64)
 
     rng = np.random.default_rng(0)
     audio = rng.standard_normal((batch, N_SAMPLES)).astype(np.float32) * 0.1
