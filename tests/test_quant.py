@@ -148,3 +148,74 @@ def test_mlx_export_load_roundtrip(tiny, tmp_path):
     r3 = decode(qparams, mel, tok, config, DecodingOptions(sample_len=8))
     r4 = decode(p3, mel, tok, c3, DecodingOptions(sample_len=8))
     assert [r.tokens for r in r3] == [r.tokens for r in r4]
+
+
+def test_openai_pt_loader(tiny, tmp_path):
+    """OpenAI .pt format: synthesize a checkpoint with the original naming
+    from our pytree, load it back, decode must match exactly."""
+    import numpy as np
+    import torch
+
+    from whisper_mlx_tpu.checkpoint.openai_loader import load_openai_whisper
+
+    params, config, tok, mel = tiny
+
+    sd = {}
+
+    def put_dense(prefix, node):
+        sd[f"{prefix}.weight"] = torch.from_numpy(
+            np.ascontiguousarray(np.asarray(node["w"], np.float32).T))
+        if "b" in node:
+            sd[f"{prefix}.bias"] = torch.from_numpy(np.asarray(node["b"], np.float32))
+
+    def put_ln(prefix, node):
+        sd[f"{prefix}.weight"] = torch.from_numpy(np.asarray(node["g"], np.float32))
+        sd[f"{prefix}.bias"] = torch.from_numpy(np.asarray(node["b"], np.float32))
+
+    def put_attn(prefix, node):
+        put_dense(f"{prefix}.query", node["q"])
+        put_dense(f"{prefix}.key", node["k"])
+        put_dense(f"{prefix}.value", node["v"])
+        put_dense(f"{prefix}.out", node["o"])
+
+    enc = params["encoder"]
+    for name in ("conv1", "conv2"):
+        sd[f"encoder.{name}.weight"] = torch.from_numpy(
+            np.ascontiguousarray(np.asarray(enc[name]["w"], np.float32).transpose(2, 1, 0)))
+        sd[f"encoder.{name}.bias"] = torch.from_numpy(np.asarray(enc[name]["b"], np.float32))
+    sd["encoder.positional_embedding"] = torch.from_numpy(np.asarray(enc["pos_emb"], np.float32))
+    for i, blk in enumerate(enc["blocks"]):
+        pre = f"encoder.blocks.{i}"
+        put_ln(f"{pre}.attn_ln", blk["attn_ln"])
+        put_attn(f"{pre}.attn", blk["attn"])
+        put_ln(f"{pre}.mlp_ln", blk["mlp_ln"])
+        put_dense(f"{pre}.mlp.0", blk["mlp"]["fc1"])
+        put_dense(f"{pre}.mlp.2", blk["mlp"]["fc2"])
+    put_ln("encoder.ln_post", enc["ln_post"])
+    dec = params["decoder"]
+    sd["decoder.token_embedding.weight"] = torch.from_numpy(np.asarray(dec["token_emb"], np.float32))
+    sd["decoder.positional_embedding"] = torch.from_numpy(np.asarray(dec["pos_emb"], np.float32))
+    for i, blk in enumerate(dec["blocks"]):
+        pre = f"decoder.blocks.{i}"
+        put_ln(f"{pre}.attn_ln", blk["attn_ln"])
+        put_attn(f"{pre}.attn", blk["attn"])
+        put_ln(f"{pre}.cross_attn_ln", blk["cross_attn_ln"])
+        put_attn(f"{pre}.cross_attn", blk["cross_attn"])
+        put_ln(f"{pre}.mlp_ln", blk["mlp_ln"])
+        put_dense(f"{pre}.mlp.0", blk["mlp"]["fc1"])
+        put_dense(f"{pre}.mlp.2", blk["mlp"]["fc2"])
+    put_ln("decoder.ln", dec["ln"])
+
+    dims = dict(n_mels=config.n_mels, n_vocab=config.n_vocab,
+                n_audio_ctx=config.n_audio_ctx, n_audio_state=config.n_audio_state,
+                n_audio_head=config.n_audio_head, n_audio_layer=config.n_audio_layer,
+                n_text_ctx=config.n_text_ctx, n_text_state=config.n_text_state,
+                n_text_head=config.n_text_head, n_text_layer=config.n_text_layer)
+    pt = tmp_path / "model.pt"
+    torch.save({"dims": dims, "model_state_dict": sd}, pt)
+
+    p2, c2 = load_openai_whisper(pt)
+    assert c2 == config
+    r1 = decode(params, mel, tok, config, DecodingOptions(sample_len=8))
+    r2 = decode(p2, mel, tok, c2, DecodingOptions(sample_len=8))
+    assert [r.tokens for r in r1] == [r.tokens for r in r2]

@@ -81,6 +81,11 @@ def load_model(model: str, model_dir: str | None):
     path = Path(model)
     if not path.exists() and model_dir:
         path = Path(model_dir) / model.replace("/", "--")
+    if path.is_file() and path.suffix == ".pt":  # original OpenAI release
+        from whisper_mlx_tpu.checkpoint.openai_loader import load_openai_whisper
+
+        params, config = load_openai_whisper(path)
+        return params, config, make_synthetic_tokenizer()
     if path.exists():
         cfg = json.loads((path / "config.json").read_text())
         if "n_audio_state" in cfg:  # MLX-format checkpoint (mlx-community)

@@ -72,12 +72,16 @@ def _quant_matmul_kernel(x_ref, wq_ref, scales_ref, biases_ref, out_ref,
 
 @functools.lru_cache(maxsize=32)
 def _planar_perm(k: int, per_word: int):
-    """perm[q] = original column of planar position q (q = plane*Kp + word)."""
+    """perm[q] = original column of planar position q (q = plane*Kp + word).
+
+    Cached as NumPy — caching a jnp array would capture the tracer of
+    whichever jit first built it (UnexpectedTracerError downstream).
+    """
     import numpy as np
 
     kp = k // per_word
     q = np.arange(k)
-    return jnp.asarray((q % kp) * per_word + q // kp, jnp.int32)
+    return np.asarray((q % kp) * per_word + q // kp, np.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -98,7 +102,7 @@ def quant_matmul_pallas(x: jnp.ndarray, q: QuantTensor, interpret: bool = False)
     Mp = _round_up(max(M, 8), 8)
     Np = _round_up(N, TILE_N)
 
-    x_planar = x2[:, _planar_perm(K, per_word)]
+    x_planar = x2[:, jnp.asarray(_planar_perm(K, per_word))]
     x_pad = jnp.zeros((Mp, K), x2.dtype).at[:M].set(x_planar)
     wq, scales, biases = q.w_q, q.scales, q.biases
     if Np != N:
