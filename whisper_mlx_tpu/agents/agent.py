@@ -11,7 +11,6 @@ from __future__ import annotations
 import sys
 import time
 from dataclasses import dataclass, field
-from typing import Any
 
 from whisper_mlx_tpu.serving.chat import (
     QwenModel,

@@ -11,7 +11,7 @@ ladder in the transcribe seek loop.
 from __future__ import annotations
 
 import zlib
-from dataclasses import dataclass, field, replace
+from dataclasses import dataclass
 from typing import Sequence
 
 import jax

@@ -15,9 +15,9 @@ Two loops:
 from __future__ import annotations
 
 import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from functools import partial
-from typing import Any, Callable, Iterator
+from typing import Iterator
 
 import jax
 import jax.numpy as jnp

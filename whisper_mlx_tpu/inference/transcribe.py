@@ -21,8 +21,7 @@ Two execution modes:
 
 from __future__ import annotations
 
-import warnings
-from dataclasses import dataclass, field, replace
+from dataclasses import dataclass, replace
 from typing import Any, Sequence
 
 import jax
@@ -36,7 +35,6 @@ from whisper_mlx_tpu.audio.mel import (
     N_SAMPLES,
     SAMPLE_RATE,
     log_mel_spectrogram,
-    pad_or_trim,
 )
 from whisper_mlx_tpu.decoding.task import DecodingOptions, DecodingResult, decode
 from whisper_mlx_tpu.decoding.tokenizer import WhisperTokenizer

@@ -25,7 +25,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from whisper_mlx_tpu.audio.mel import HOP_LENGTH, SAMPLE_RATE
 from whisper_mlx_tpu.decoding.tokenizer import WhisperTokenizer
 from whisper_mlx_tpu.models.whisper import (
     Params,

@@ -6,7 +6,7 @@ parameters — the "agent config" unit of the daemon.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any, Callable
 
 

@@ -10,7 +10,6 @@ return a structured missing-dependency error (this image has no browsers).
 from __future__ import annotations
 
 import asyncio
-from typing import Any
 
 try:
     from playwright.async_api import async_playwright  # type: ignore

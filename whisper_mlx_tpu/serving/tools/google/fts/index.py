@@ -9,7 +9,7 @@ email/event text extractors at the bottom (reference :206-252).
 from __future__ import annotations
 
 import threading
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any, Callable, Generic, TypeVar
 
 from whisper_mlx_tpu.serving.tools.google.fts.bm25 import BM25Scorer
