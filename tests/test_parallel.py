@@ -66,3 +66,67 @@ def test_sharded_encoder_states_match(tiny):
     mesh = make_mesh(dp=2, tp=4)
     out = np.asarray(encode(shard_params(params, mesh), shard_batch(jnp.asarray(mel), mesh), config))
     np.testing.assert_allclose(out, ref, atol=1e-4, rtol=1e-4)
+
+
+def test_sharded_qwen_decode_matches_single_device():
+    """Megatron-TP-sharded Qwen decode must be token-identical to
+    single-device (the LLM serving path for Qwen3-32B, which exceeds one
+    chip's HBM)."""
+    import jax.numpy as jnp
+
+    from whisper_mlx_tpu.models.qwen import QwenConfig, decode_step, init_kv_cache, init_params
+    from whisper_mlx_tpu.parallel.sharding_llm import shard_qwen_params
+
+    config = QwenConfig(
+        vocab_size=512, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        rope_theta=10_000.0, tie_word_embeddings=False, attention_bias=True,
+    )
+    params = init_params(config, seed=0)
+    tokens = jnp.asarray([[5, 9, 200, 43]])
+
+    cache = init_kv_cache(config, 1, max_len=16)
+    ref_logits, _ = decode_step(params, tokens, jnp.int32(0), cache, config)
+
+    mesh = make_mesh(dp=2, tp=4)
+    p_sh = shard_qwen_params(params, mesh)
+    cache = init_kv_cache(config, 1, max_len=16)
+    sh_logits, _ = decode_step(p_sh, tokens, jnp.int32(0), cache, config)
+
+    np.testing.assert_allclose(
+        np.asarray(sh_logits), np.asarray(ref_logits), atol=1e-4, rtol=1e-4
+    )
+    assert np.array_equal(
+        np.argmax(np.asarray(sh_logits), -1), np.argmax(np.asarray(ref_logits), -1)
+    )
+
+
+def test_sharded_quantized_qwen():
+    """TP sharding composes with quantized (QuantTensor) params."""
+    import jax.numpy as jnp
+
+    from whisper_mlx_tpu.models.qwen import QwenConfig, decode_step, init_kv_cache, init_params
+    from whisper_mlx_tpu.ops.quant import quantize_params
+    from whisper_mlx_tpu.parallel.sharding_llm import shard_qwen_params
+
+    config = QwenConfig(
+        vocab_size=512, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        rope_theta=10_000.0, tie_word_embeddings=True, attention_bias=True,
+    )
+    params = init_params(config, seed=0)
+    qlayers = quantize_params(
+        {"encoder": {"layers": params["layers"]}, "decoder": {}},
+        bits=8, group_size=64,
+    )["encoder"]["layers"]
+    qparams = dict(params, layers=qlayers)
+    tokens = jnp.asarray([[1, 2, 3]])
+
+    cache = init_kv_cache(config, 1, max_len=8)
+    ref, _ = decode_step(qparams, tokens, jnp.int32(0), cache, config)
+
+    mesh = make_mesh(dp=4, tp=2)
+    p_sh = shard_qwen_params(qparams, mesh)
+    cache = init_kv_cache(config, 1, max_len=8)
+    sh, _ = decode_step(p_sh, tokens, jnp.int32(0), cache, config)
+    np.testing.assert_allclose(np.asarray(sh), np.asarray(ref), atol=1e-4)
