@@ -135,7 +135,7 @@ def main() -> None:
     from whisper_mlx_tpu.models.whisper import WHISPER_CONFIGS
 
     model_name = os.environ.get("BENCH_MODEL", "large-v3")
-    batch = int(os.environ.get("BENCH_BATCH", "8"))
+    batch = int(os.environ.get("BENCH_BATCH", "16"))
     sample_len = int(os.environ.get("BENCH_SAMPLE_LEN", "224"))
     reps = int(os.environ.get("BENCH_REPS", "3"))
     use_flash = os.environ.get("BENCH_FLASH", "1") == "1"
