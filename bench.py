@@ -178,8 +178,6 @@ def main() -> None:
     best = min(times)
 
     audio_seconds = batch * 30.0
-    rtf_per_chip = audio_seconds / best / max(jax.device_count(), 1) * jax.device_count()
-    # single-chip measurement: devices==1 here; report per-chip RTF
     rtf_per_chip = audio_seconds / best / jax.device_count()
 
     print(

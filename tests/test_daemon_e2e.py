@@ -41,9 +41,25 @@ def _delete(path: str):
         return r.status, json.loads(r.read())
 
 
+def _make_tiny_asr_checkpoint(path):
+    """Tiny MLX-format whisper checkpoint for the /v1/transcribe endpoint."""
+    from whisper_mlx_tpu.checkpoint.quant_loader import export_mlx_whisper
+    from whisper_mlx_tpu.decoding.tokenizer import make_synthetic_tokenizer
+    from whisper_mlx_tpu.models.whisper import WhisperConfig, init_params
+
+    tok = make_synthetic_tokenizer()
+    config = WhisperConfig(
+        n_mels=80, n_vocab=tok.n_vocab,
+        n_audio_state=64, n_audio_head=4, n_audio_layer=2,
+        n_text_state=64, n_text_head=4, n_text_layer=2,
+    )
+    export_mlx_whisper(init_params(config, seed=0), config, path)
+
+
 @pytest.fixture(scope="module")
 def daemon(tmp_path_factory):
     tmp = tmp_path_factory.mktemp("daemon")
+    _make_tiny_asr_checkpoint(tmp / "asr")
     env = dict(
         os.environ,
         JAX_PLATFORMS="cpu",
@@ -56,7 +72,7 @@ def daemon(tmp_path_factory):
     env.pop("QWEN_MODEL_PATH", None)  # tiny random model
     proc = subprocess.Popen(
         [sys.executable, "-m", "whisper_mlx_tpu.serving.server",
-         "--port", str(PORT)],
+         "--port", str(PORT), "--whisper-model", str(tmp / "asr"), "--ui"],
         env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
     )
     # poll /health until ready (reference :106-122)
@@ -203,3 +219,36 @@ def test_cheap_endpoint_latency(daemon):
         t0 = time.perf_counter()
         _get(path)
         assert (time.perf_counter() - t0) < 0.1, path
+
+
+def test_transcribe_endpoint(daemon, tmp_path):
+    """/v1/transcribe over the continuous batcher (BASELINE config 5)."""
+    import struct
+
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    sig = (0.3 * np.sin(2 * np.pi * 330 * np.arange(32000) / 16000)).astype(np.float32)
+    pcm = (sig * 32767).astype("<i2")
+    data = pcm.tobytes()
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+    hdr += b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 16_000, 32_000, 2, 16)
+    hdr += b"data" + struct.pack("<I", len(data))
+    wav = tmp_path / "t.wav"
+    wav.write_bytes(hdr + data)
+
+    status, body = _post("/v1/transcribe", {"path": str(wav)}, timeout=300)
+    assert status == 200
+    assert set(body) >= {"text", "segments", "language", "latency_ms"}
+
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        _post("/v1/transcribe", {})
+    assert exc.value.code == 422
+
+
+def test_ui_served(daemon):
+    with urllib.request.urlopen(BASE + "/ui", timeout=30) as r:
+        html = r.read().decode()
+    assert "whisper" in html and "app.js" in html
+    with urllib.request.urlopen(BASE + "/ui/app.js", timeout=30) as r:
+        assert r.status == 200
