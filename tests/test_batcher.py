@@ -79,3 +79,26 @@ def test_batcher_matches_batched_transcribe(tiny):
     toks_a = [s["tokens"] for s in via_batcher["segments"]]
     toks_b = [s["tokens"] for s in via_transcribe["segments"]]
     assert toks_a == toks_b
+
+
+def test_stream_transcribe_progressive(tiny):
+    """Streaming mode yields each window as it decodes, in bounded count."""
+    params, config, tok = tiny
+    batcher = TranscriptionBatcher(
+        params, config, tok, batch_size=2, max_wait_ms=10,
+        decoding=DecodingOptions(sample_len=8),
+    )
+
+    async def run():
+        audio = make_speechy_audio(seconds=65.0)  # 3 windows
+        events = []
+        async for ev in batcher.stream_transcribe(audio):
+            events.append(ev)
+        batcher.shutdown()
+        return events
+
+    events = asyncio.run(run())
+    assert len(events) == 3
+    assert {e["window"] for e in events} == {0, 1, 2}
+    assert all(e["of"] == 3 for e in events)
+    assert all("segments" in e for e in events)

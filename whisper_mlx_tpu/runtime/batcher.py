@@ -49,6 +49,7 @@ class _Request:
     n_windows: int
     results: dict[int, Any] = field(default_factory=dict)
     done: asyncio.Future = None  # type: ignore[assignment]
+    events: asyncio.Queue | None = None  # per-window completions (streaming)
 
 
 class TranscriptionBatcher:
@@ -80,6 +81,28 @@ class TranscriptionBatcher:
     async def transcribe(self, audio: np.ndarray) -> dict[str, Any]:
         """Enqueue all windows of ``audio``; resolves when every window is
         decoded. Returns the reference transcription dict."""
+        req_id, request = await self._enqueue(audio)
+        results = await request.done
+        del self._requests[req_id]
+        return self._assemble(results)
+
+    async def stream_transcribe(self, audio: np.ndarray):
+        """Progressive transcription: yields each window's segments as soon
+        as that window decodes (BASELINE config 5 streaming stretch)."""
+        req_id, request = await self._enqueue(audio)
+        try:
+            emitted = 0
+            while emitted < request.n_windows:
+                item = await request.events.get()
+                emitted += 1
+                w, (time_offset, result) = item
+                partial = self._assemble({w: (time_offset, result)})
+                yield {"window": w, "of": request.n_windows,
+                       "segments": partial["segments"], "text": partial["text"]}
+        finally:
+            del self._requests[req_id]
+
+    async def _enqueue(self, audio: np.ndarray) -> tuple[int, "_Request"]:
         self._ensure_worker()
         audio = np.asarray(audio, np.float32)
         mel_all = np.asarray(
@@ -93,7 +116,9 @@ class TranscriptionBatcher:
 
         req_id = self._next_id
         self._next_id += 1
-        request = _Request(n_windows=n_windows, done=asyncio.get_event_loop().create_future())
+        loop = asyncio.get_event_loop()
+        request = _Request(n_windows=n_windows, done=loop.create_future())
+        request.events = asyncio.Queue()
         self._requests[req_id] = request
 
         for w in range(n_windows):
@@ -106,10 +131,7 @@ class TranscriptionBatcher:
                 request_id=req_id, window_idx=w, mel=seg,
                 time_offset=w * N_FRAMES * HOP_LENGTH / SAMPLE_RATE,
             ))
-
-        results = await request.done
-        del self._requests[req_id]
-        return self._assemble(results)
+        return req_id, request
 
     def shutdown(self) -> None:
         if self._worker is not None:
@@ -159,7 +181,12 @@ class TranscriptionBatcher:
             request = self._requests.get(job.request_id)
             if request is None:
                 continue
-            request.results[job.window_idx] = (job.time_offset, result)
+            entry = (job.time_offset, result)
+            request.results[job.window_idx] = entry
+            if request.events is not None:
+                request.done.get_loop().call_soon_threadsafe(
+                    request.events.put_nowait, (job.window_idx, entry)
+                )
             if len(request.results) == request.n_windows and not request.done.done():
                 request.done.get_loop().call_soon_threadsafe(
                     request.done.set_result, dict(request.results)

@@ -482,6 +482,42 @@ async def transcribe_endpoint(request: web.Request) -> web.Response:
     return _json(result)
 
 
+async def transcribe_stream_endpoint(request: web.Request) -> web.StreamResponse:
+    """POST /v1/transcribe/stream — SSE of per-window segments as they decode
+    (BASELINE config 5 streaming stretch)."""
+    app = request.app
+    batcher = app.get("batcher")
+    if batcher is None:
+        return _error("no ASR model loaded (start with --whisper-model)", 503)
+
+    import numpy as np
+
+    from whisper_mlx_tpu.audio.decode import load_audio
+
+    try:
+        body = await request.json()
+    except json.JSONDecodeError:
+        return _error("invalid JSON body", 400)
+    if "path" not in body:
+        return _error("'path' is required", 422)
+    audio = load_audio(body["path"])
+
+    resp = web.StreamResponse(headers={
+        "Content-Type": "text/event-stream",
+        "Cache-Control": "no-cache",
+    })
+    await resp.prepare(request)
+    t0 = time.perf_counter()
+    async for event in batcher.stream_transcribe(np.asarray(audio)):
+        event["event"] = "window"
+        await resp.write(f"data: {json.dumps(event)}\n\n".encode())
+    await resp.write(
+        f"data: {json.dumps({'event': 'complete', 'latency_ms': (time.perf_counter() - t0) * 1000})}\n\n".encode()
+    )
+    await resp.write_eof()
+    return resp
+
+
 # ---------------------------------------------------------------------------
 # app assembly
 # ---------------------------------------------------------------------------
@@ -523,6 +559,7 @@ def create_app(preload: bool = False, whisper_model: str | None = None,
     app.router.add_post("/v1/sessions/{id}/chat/stream", session_chat_stream)
     app.router.add_get("/v1/generation/status", generation_status)
     app.router.add_post("/v1/transcribe", transcribe_endpoint)
+    app.router.add_post("/v1/transcribe/stream", transcribe_stream_endpoint)
 
     async def on_startup(app: web.Application) -> None:
         # lifespan parity (reference :364-406): registry populate, session
