@@ -51,6 +51,9 @@ class WhisperConfig:
     # encoder attention via the Pallas flash kernel (ops/flash_attention.py);
     # avoids materializing (B, H, 1500, 1500) score tensors
     flash_attention: bool = False
+    # int8 cross-attention KV cache (ops/kv_quant.py): halves the dominant
+    # decode HBM traffic + doubles window-batch capacity; 0 = bf16/fp
+    kv_bits: int = 0
 
     @property
     def head_dim(self) -> int:
@@ -242,13 +245,23 @@ def cross_kv(params: Params, audio_states: jnp.ndarray, config: WhisperConfig) -
 
     The reference's MLX decoder recomputes K/V lazily per layer; on TPU we
     hoist it out of the token loop entirely — it is a pure function of the
-    encoder output.
+    encoder output. With ``config.kv_bits == 8`` the keys (pre-scaled by
+    head_dim**-0.25, matching the attention convention) and values are
+    stored int8 with per-position scales (ops/kv_quant.py).
     """
     out = []
+    scale = (config.n_text_state // config.n_text_head) ** -0.25
     for blk in params["decoder"]["blocks"]:
         k = _split_heads(linear(audio_states, blk["cross_attn"]["k"]), config.n_text_head)
         v = _split_heads(linear(audio_states, blk["cross_attn"]["v"]), config.n_text_head)
-        out.append({"k": k, "v": v})
+        if config.kv_bits == 8:
+            from whisper_mlx_tpu.ops.kv_quant import quantize_kv
+
+            k8, ks = quantize_kv(k * scale)
+            v8, vs = quantize_kv(v)
+            out.append({"k8": k8, "ks": ks, "v8": v8, "vs": vs})
+        else:
+            out.append({"k": k, "v": v})
     return out
 
 
@@ -307,8 +320,18 @@ def decode_step(
 
         h = layer_norm(x, blk["cross_attn_ln"])
         qx = _split_heads(linear(h, blk["cross_attn"]["q"]), config.n_text_head)
-        cross_out, cw = attention(qx, xkv[i]["k"], xkv[i]["v"],
-                                  return_weights=collect_cross_attn)
+        if "k8" in xkv[i]:  # int8 KV path (never collects weights — DTW
+            # alignment uses a full-precision pass)
+            from whisper_mlx_tpu.ops.kv_quant import attention_int8_kv
+
+            scale = qx.shape[-1] ** -0.25
+            cross_out = attention_int8_kv(
+                qx * scale, xkv[i]["k8"], xkv[i]["ks"], xkv[i]["v8"], xkv[i]["vs"]
+            )
+            cw = None
+        else:
+            cross_out, cw = attention(qx, xkv[i]["k"], xkv[i]["v"],
+                                      return_weights=collect_cross_attn)
         x = x + linear(_merge_heads(cross_out), blk["cross_attn"]["o"])
         if collect_cross_attn:
             cross_weights.append(cw)
