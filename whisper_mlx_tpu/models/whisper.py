@@ -266,10 +266,21 @@ def cross_kv(params: Params, audio_states: jnp.ndarray, config: WhisperConfig) -
 
 
 def init_kv_cache(config: WhisperConfig, batch: int, dtype=None) -> list[Params]:
-    """Preallocated self-attention KV cache (static shapes for while_loop)."""
+    """Preallocated self-attention KV cache (static shapes for while_loop).
+
+    With ``config.kv_bits == 8`` entries are int8 + per-position scales
+    (ops/kv_quant.py) — half the storage and per-step read traffic.
+    """
     dtype = dtype or config.dtype
     hd = config.n_text_state // config.n_text_head
     shape = (batch, config.n_text_head, config.n_text_ctx, hd)
+    if config.kv_bits == 8:
+        sshape = (batch, config.n_text_head, config.n_text_ctx, 1)
+        return [
+            {"k8": jnp.zeros(shape, jnp.int8), "ks": jnp.zeros(sshape, jnp.float32),
+             "v8": jnp.zeros(shape, jnp.int8), "vs": jnp.zeros(sshape, jnp.float32)}
+            for _ in range(config.n_text_layer)
+        ]
     return [
         {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
         for _ in range(config.n_text_layer)
@@ -312,10 +323,26 @@ def decode_step(
         q = _split_heads(linear(h, blk["attn"]["q"]), config.n_text_head)
         k_new = _split_heads(linear(h, blk["attn"]["k"]), config.n_text_head)
         v_new = _split_heads(linear(h, blk["attn"]["v"]), config.n_text_head)
-        k = jax.lax.dynamic_update_slice_in_dim(kv_cache[i]["k"], k_new, pos, axis=2)
-        v = jax.lax.dynamic_update_slice_in_dim(kv_cache[i]["v"], v_new, pos, axis=2)
-        new_cache.append({"k": k, "v": v})
-        attn_out, _ = attention(q, k, v, mask)
+        if config.kv_bits == 8:
+            from whisper_mlx_tpu.ops.kv_quant import attention_int8_kv, quantize_kv
+
+            scale = q.shape[-1] ** -0.25
+            k8n, ksn = quantize_kv(k_new * scale)
+            v8n, vsn = quantize_kv(v_new)
+            upd = lambda buf, new: jax.lax.dynamic_update_slice_in_dim(buf, new, pos, axis=2)
+            entry = {
+                "k8": upd(kv_cache[i]["k8"], k8n), "ks": upd(kv_cache[i]["ks"], ksn),
+                "v8": upd(kv_cache[i]["v8"], v8n), "vs": upd(kv_cache[i]["vs"], vsn),
+            }
+            new_cache.append(entry)
+            attn_out = attention_int8_kv(
+                q * scale, entry["k8"], entry["ks"], entry["v8"], entry["vs"], mask
+            )
+        else:
+            k = jax.lax.dynamic_update_slice_in_dim(kv_cache[i]["k"], k_new, pos, axis=2)
+            v = jax.lax.dynamic_update_slice_in_dim(kv_cache[i]["v"], v_new, pos, axis=2)
+            new_cache.append({"k": k, "v": v})
+            attn_out, _ = attention(q, k, v, mask)
         x = x + linear(_merge_heads(attn_out), blk["attn"]["o"])
 
         h = layer_norm(x, blk["cross_attn_ln"])
