@@ -119,3 +119,33 @@ def test_compression_ratio():
     rep = compression_ratio("the the the the the the the the the the")
     varied = compression_ratio("a quick brown fox jumps over lazy dogs")
     assert rep > varied
+
+
+def test_translate_task_sot_sequence(tiny_model):
+    """task=translate switches the sot sequence (reference decode option)."""
+    from whisper_mlx_tpu.decoding.task import build_initial_tokens
+
+    params, config, tok, mel = tiny_model
+    tok.task = "translate"
+    try:
+        init, _, _ = build_initial_tokens(tok, DecodingOptions(task="translate"),
+                                          config.n_text_ctx)
+        assert init == [tok.sot, tok.language_token("en"), tok.translate]
+    finally:
+        tok.task = "transcribe"
+
+
+def test_prefix_option(tiny_model):
+    """prefix seeds the sampled region (reference DecodingOptions.prefix)."""
+    from whisper_mlx_tpu.decoding.task import build_initial_tokens
+
+    params, config, tok, mel = tiny_model
+    prefix_ids = tok.encode(" hello")
+    init, sot_index, sample_begin = build_initial_tokens(
+        tok, DecodingOptions(prefix=list(prefix_ids)), config.n_text_ctx
+    )
+    assert init[-len(prefix_ids):] == list(prefix_ids)
+    assert sample_begin == len(init)
+    r = decode(params, mel, tok, config,
+               DecodingOptions(sample_len=8, prefix=list(prefix_ids)))
+    assert all(x.tokens for x in r)

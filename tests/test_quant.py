@@ -219,3 +219,23 @@ def test_openai_pt_loader(tiny, tmp_path):
     r1 = decode(params, mel, tok, config, DecodingOptions(sample_len=8))
     r2 = decode(p2, mel, tok, c2, DecodingOptions(sample_len=8))
     assert [r.tokens for r in r1] == [r.tokens for r in r2]
+
+
+def test_native_checkpoint_roundtrip(tiny, tmp_path):
+    """save_params/load_params preserve fp and quantized pytrees exactly."""
+    from whisper_mlx_tpu.checkpoint.native_io import load_params, save_params
+
+    params, config, tok, mel = tiny
+
+    save_params(params, tmp_path / "fp.safetensors")
+    p2 = load_params(tmp_path / "fp.safetensors")
+    r1 = decode(params, mel, tok, config, DecodingOptions(sample_len=8))
+    r2 = decode(p2, mel, tok, config, DecodingOptions(sample_len=8))
+    assert [r.tokens for r in r1] == [r.tokens for r in r2]
+
+    qparams = quantize_params(params, bits=4, group_size=64)
+    save_params(qparams, tmp_path / "q4.safetensors")
+    p3 = load_params(tmp_path / "q4.safetensors")
+    r3 = decode(qparams, mel, tok, config, DecodingOptions(sample_len=8))
+    r4 = decode(p3, mel, tok, config, DecodingOptions(sample_len=8))
+    assert [r.tokens for r in r3] == [r.tokens for r in r4]
