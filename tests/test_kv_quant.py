@@ -82,3 +82,12 @@ def test_int8_kv_word_timestamps_fallback(tiny):
     words = find_alignment(params, cfg8, tok, tok.encode(" hello world"),
                            np.asarray(mel[0]), num_frames=3000)
     assert words
+
+
+def test_int8_kv_beam_search(tiny):
+    """Beam search gathers the int8 KV cache dicts transparently."""
+    params, config, tok, mel = tiny
+    cfg8 = dataclasses.replace(config, kv_bits=8)
+    r = decode(params, mel, tok, cfg8, DecodingOptions(sample_len=8, beam_size=2))
+    assert len(r) == 2
+    assert all(x.tokens for x in r)
