@@ -141,10 +141,11 @@ def main() -> None:
     use_flash = os.environ.get("BENCH_FLASH", "1") == "1"
     quant_bits = int(os.environ.get("BENCH_QUANT", "0"))  # 0=off, 4, 8
     kv_bits = int(os.environ.get("BENCH_KV", "8"))  # 0=bf16, 8=int8 cross-KV
+    self_kv = int(os.environ.get("BENCH_SELF_KV", "0"))  # int8 self-KV
 
     config = dataclasses.replace(
         WHISPER_CONFIGS[model_name], dtype=jnp.bfloat16,
-        flash_attention=use_flash, kv_bits=kv_bits,
+        flash_attention=use_flash, kv_bits=kv_bits, self_kv_bits=self_kv,
     )
 
     # real large-v3 special-token layout over a byte-level base BPE
@@ -192,7 +193,7 @@ def main() -> None:
     )
     print(
         f"# model={model_name} batch={batch} sample_len={sample_len} "
-        f"flash={use_flash} quant={quant_bits} kv={kv_bits} "
+        f"flash={use_flash} quant={quant_bits} kv={kv_bits} self_kv={self_kv} "
         f"best={best:.3f}s times={['%.3f' % t for t in times]} "
         f"compile+warmup={compile_s:.1f}s backend={jax.default_backend()} "
         f"devices={jax.device_count()}",

@@ -64,7 +64,7 @@ def tiny():
 
 def test_int8_kv_decode_close_to_fp(tiny):
     params, config, tok, mel = tiny
-    cfg8 = dataclasses.replace(config, kv_bits=8)
+    cfg8 = dataclasses.replace(config, kv_bits=8, self_kv_bits=8)
     r_fp = decode(params, mel, tok, config, DecodingOptions(sample_len=12))
     r_q = decode(params, mel, tok, cfg8, DecodingOptions(sample_len=12))
     for a, b in zip(r_fp, r_q):
@@ -78,7 +78,7 @@ def test_int8_kv_word_timestamps_fallback(tiny):
     from whisper_mlx_tpu.inference.word_timestamps import find_alignment
 
     params, config, tok, mel = tiny
-    cfg8 = dataclasses.replace(config, kv_bits=8)
+    cfg8 = dataclasses.replace(config, kv_bits=8, self_kv_bits=8)
     words = find_alignment(params, cfg8, tok, tok.encode(" hello world"),
                            np.asarray(mel[0]), num_frames=3000)
     assert words
@@ -87,7 +87,7 @@ def test_int8_kv_word_timestamps_fallback(tiny):
 def test_int8_kv_beam_search(tiny):
     """Beam search gathers the int8 KV cache dicts transparently."""
     params, config, tok, mel = tiny
-    cfg8 = dataclasses.replace(config, kv_bits=8)
+    cfg8 = dataclasses.replace(config, kv_bits=8, self_kv_bits=8)
     r = decode(params, mel, tok, cfg8, DecodingOptions(sample_len=8, beam_size=2))
     assert len(r) == 2
     assert all(x.tokens for x in r)

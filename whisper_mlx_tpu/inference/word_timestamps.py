@@ -126,11 +126,11 @@ def find_alignment(
     sot_seq = list(tokenizer.sot_sequence)
     tokens = sot_seq + [tokenizer.no_timestamps] + list(text_tokens) + [tokenizer.eot]
 
-    if config.kv_bits:
+    if config.kv_bits or config.self_kv_bits:
         # alignment needs full-precision cross-attention weights
         import dataclasses
 
-        config = dataclasses.replace(config, kv_bits=0)
+        config = dataclasses.replace(config, kv_bits=0, self_kv_bits=0)
     states = encode(params, jnp.asarray(mel_window)[None], config)
     xkv = cross_kv(params, states, config)
     cache = init_kv_cache(config, 1)

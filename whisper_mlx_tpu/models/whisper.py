@@ -54,6 +54,9 @@ class WhisperConfig:
     # int8 cross-attention KV cache (ops/kv_quant.py): halves the dominant
     # decode HBM traffic + doubles window-batch capacity; 0 = bf16/fp
     kv_bits: int = 0
+    # int8 self-attention KV cache (smaller win; separate flag so each can
+    # be benched/validated independently)
+    self_kv_bits: int = 0
 
     @property
     def head_dim(self) -> int:
@@ -274,7 +277,7 @@ def init_kv_cache(config: WhisperConfig, batch: int, dtype=None) -> list[Params]
     dtype = dtype or config.dtype
     hd = config.n_text_state // config.n_text_head
     shape = (batch, config.n_text_head, config.n_text_ctx, hd)
-    if config.kv_bits == 8:
+    if config.self_kv_bits == 8:
         sshape = (batch, config.n_text_head, config.n_text_ctx, 1)
         return [
             {"k8": jnp.zeros(shape, jnp.int8), "ks": jnp.zeros(sshape, jnp.float32),
@@ -323,7 +326,7 @@ def decode_step(
         q = _split_heads(linear(h, blk["attn"]["q"]), config.n_text_head)
         k_new = _split_heads(linear(h, blk["attn"]["k"]), config.n_text_head)
         v_new = _split_heads(linear(h, blk["attn"]["v"]), config.n_text_head)
-        if config.kv_bits == 8:
+        if config.self_kv_bits == 8:
             from whisper_mlx_tpu.ops.kv_quant import attention_int8_kv, quantize_kv
 
             scale = q.shape[-1] ** -0.25
