@@ -91,3 +91,34 @@ def test_mel_pallas_matches_xla(n_mels):
     out = np.asarray(log_mel_pallas(audio, n_mels=n_mels, interpret=True))
     assert out.shape == ref.shape
     np.testing.assert_allclose(out, ref, atol=2e-4, rtol=2e-4)
+
+
+def test_encoder_flash_flag_matches_xla():
+    """encode(flash_attention=True) ≈ encode(False) (interpret-mode kernel)."""
+    import dataclasses
+    from unittest import mock
+
+    from whisper_mlx_tpu.models.whisper import WhisperConfig, encode, init_params
+    from whisper_mlx_tpu.ops import flash_attention as fa
+
+    config = WhisperConfig(
+        n_mels=80, n_vocab=500,
+        n_audio_state=64, n_audio_head=4, n_audio_layer=2,
+        n_text_state=64, n_text_head=4, n_text_layer=2,
+    )
+    params = init_params(config, seed=0)
+    rng = np.random.default_rng(0)
+    mel = jnp.asarray(rng.standard_normal((1, 3000, 80)).astype(np.float32))
+
+    ref = np.asarray(encode(params, mel, config))
+
+    orig = fa.flash_attention
+    # force interpret mode on CPU
+    def interp(q, k, v, **kw):
+        kw["interpret"] = True
+        return orig(q, k, v, **kw)
+
+    cfg_flash = dataclasses.replace(config, flash_attention=True)
+    with mock.patch.object(fa, "flash_attention", interp):
+        out = np.asarray(encode(params, mel, cfg_flash))
+    np.testing.assert_allclose(out, ref, atol=2e-4, rtol=2e-4)
