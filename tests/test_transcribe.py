@@ -123,3 +123,30 @@ def test_cli_runs(tiny, tmp_path, monkeypatch):
     ])
     assert rc == 0
     assert (tmp_path / "result.txt").exists()
+
+
+def test_stage_timer_in_result(tiny):
+    """transcribe() reports per-stage timing (runtime/profiling)."""
+    params, config, tok = tiny
+    audio = make_speechy_audio(seconds=3.0)
+    result = transcribe(audio, params=params, config=config, tokenizer=tok,
+                        temperature=0.0, verbose=False)
+    stages = result["stages"]
+    assert {"mel", "encode", "decode"} <= set(stages)
+    for s in stages.values():
+        assert s["count"] >= 1 and s["total_ms"] >= 0
+
+
+def test_stage_timer_unit():
+    import time
+
+    from whisper_mlx_tpu.runtime.profiling import StageTimer
+
+    t = StageTimer()
+    with t.stage("a"):
+        time.sleep(0.01)
+    with t.stage("a"):
+        pass
+    s = t.summary()
+    assert s["a"]["count"] == 2
+    assert s["a"]["total_ms"] >= 10
