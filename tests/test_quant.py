@@ -239,3 +239,15 @@ def test_native_checkpoint_roundtrip(tiny, tmp_path):
     r3 = decode(qparams, mel, tok, config, DecodingOptions(sample_len=8))
     r4 = decode(p3, mel, tok, config, DecodingOptions(sample_len=8))
     assert [r.tokens for r in r3] == [r.tokens for r in r4]
+
+
+def test_quantize_jax_matches_numpy():
+    from whisper_mlx_tpu.ops.quant import quantize_jax
+
+    rng = np.random.default_rng(3)
+    w = rng.standard_normal((32, 128)).astype(np.float32)
+    w_q, scales, biases = quantize(w, bits=4, group_size=64)
+    qt = quantize_jax(jnp.asarray(w), bits=4, group_size=64)
+    np.testing.assert_array_equal(np.asarray(qt.w_q), w_q)
+    np.testing.assert_allclose(np.asarray(qt.scales), scales, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(qt.biases), biases, atol=1e-7)

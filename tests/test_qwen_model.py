@@ -110,3 +110,31 @@ def test_quantized_qwen_decode():
     lg_q, _ = decode_step(qparams, tokens, jnp.int32(0), cache, config)
     # int8 grouped quantization keeps logits close
     assert np.abs(np.asarray(lg_fp) - np.asarray(lg_q)).max() < 0.5
+
+
+def test_qwen_flash_prefill_matches_xla():
+    """flash_attention prefill ≈ XLA attention prefill (interpret kernel)."""
+    from unittest import mock
+
+    from whisper_mlx_tpu.ops import flash_attention as fa
+
+    config = dataclasses.replace(config_from_hf(QWEN2_TINY), dtype=jnp.float32)
+    params = init_params(config, seed=0)
+    tokens = jnp.asarray([[5, 9, 200, 43, 17, 3, 88, 101]])
+
+    cache = init_kv_cache(config, 1, max_len=16)
+    ref, _ = decode_step(params, tokens, jnp.int32(0), cache, config)
+
+    orig = fa.flash_attention
+
+    def interp(q, k, v, **kw):
+        kw["interpret"] = True
+        kw["tile_q"] = 8
+        kw["tile_k"] = 128
+        return orig(q, k, v, **kw)
+
+    cfg_flash = dataclasses.replace(config, flash_attention=True)
+    cache = init_kv_cache(cfg_flash, 1, max_len=16)
+    with mock.patch.object(fa, "flash_attention", interp):
+        out, _ = decode_step(params, tokens, jnp.int32(0), cache, cfg_flash)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4, rtol=2e-4)

@@ -42,6 +42,10 @@ class QwenConfig:
     qk_norm: bool = False  # Qwen3: per-head RMSNorm on q and k
     max_position_embeddings: int = 32_768
     attention_bias: bool = True  # Qwen2: bias on q/k/v; Qwen3: False
+    # Pallas flash kernel for prefill (t > 1). Constraint: prefill must
+    # start at pos == 0 (all in-repo callers do); continuing prefill over an
+    # existing cache needs the XLA path.
+    flash_attention: bool = False
     dtype: Any = jnp.float32
 
     @property
@@ -165,10 +169,23 @@ def decode_step(
         k_r = jnp.repeat(k_full, rep, axis=1)
         v_r = jnp.repeat(v_full, rep, axis=1)
         scale = 1.0 / math.sqrt(hd)
-        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k_r) * scale
-        scores = scores.astype(jnp.promote_types(scores.dtype, jnp.float32)) + mask
-        w = jax.nn.softmax(scores, axis=-1).astype(v_r.dtype)
-        attn = jnp.einsum("bhqk,bhkd->bhqd", w, v_r)
+        if config.flash_attention and t > 1:
+            # prefill via the Pallas flash kernel (causal); the convention
+            # there is q/k each pre-scaled by hd**-0.25
+            from whisper_mlx_tpu.ops.flash_attention import flash_attention
+
+            s4 = hd ** -0.25
+            attn = flash_attention(
+                (q * s4).astype(config.dtype),
+                (k_r[:, :, :t] * s4).astype(config.dtype),
+                v_r[:, :, :t].astype(config.dtype),
+                causal=True,
+            ).astype(jnp.float32)
+        else:
+            scores = jnp.einsum("bhqd,bhkd->bhqk", q, k_r) * scale
+            scores = scores.astype(jnp.promote_types(scores.dtype, jnp.float32)) + mask
+            w = jax.nn.softmax(scores, axis=-1).astype(v_r.dtype)
+            attn = jnp.einsum("bhqk,bhkd->bhqd", w, v_r)
         attn = attn.transpose(0, 2, 1, 3).reshape(b, t, H * hd)
         x = x + _linear(attn, blk["attn"]["o"])
 

@@ -185,3 +185,28 @@ def quantize_params(params, bits: int = 4, group_size: int = 64):
         else:
             out["decoder"][name] = walk(val)
     return out
+
+
+def quantize_jax(w: jnp.ndarray, bits: int = 4, group_size: int = 64):
+    """Device-side quantization (same semantics as :func:`quantize`).
+
+    numpy quantization of billion-param models takes ~15 min on this box's
+    single CPU core; on an accelerator this runs in milliseconds — used to
+    quantize freshly-loaded fp checkpoints for serving.
+    """
+    out_dim, in_dim = w.shape
+    n_levels = (1 << bits) - 1
+    g = w.reshape(out_dim, in_dim // group_size, group_size).astype(jnp.float32)
+    w_min = g.min(axis=-1)
+    w_max = g.max(axis=-1)
+    scales = jnp.where(w_max == w_min, 1e-8, (w_max - w_min) / n_levels)
+    biases = w_min
+    q = jnp.clip(jnp.round((g - biases[..., None]) / scales[..., None]), 0, n_levels)
+    q = q.reshape(out_dim, in_dim).astype(jnp.uint32)
+    per_word = 32 // bits
+    q = q.reshape(out_dim, in_dim // per_word, per_word)
+    packed = jnp.zeros(q.shape[:2], jnp.uint32)
+    for i in range(per_word):
+        packed = packed | (q[..., i] << jnp.uint32(i * bits))
+    return QuantTensor(packed, scales.astype(jnp.float32),
+                       biases.astype(jnp.float32), bits, group_size)
