@@ -150,3 +150,17 @@ def test_stage_timer_unit():
     s = t.summary()
     assert s["a"]["count"] == 2
     assert s["a"]["total_ms"] >= 10
+
+
+def test_clip_timestamps(tiny):
+    """clip_timestamps restricts transcription to given ranges (reference
+    option surface)."""
+    params, config, tok = tiny
+    audio = make_speechy_audio(seconds=70.0)
+    result = transcribe(
+        audio, params=params, config=config, tokenizer=tok,
+        temperature=0.0, clip_timestamps="0,30", verbose=False,
+        condition_on_previous_text=False,
+    )
+    # all segments start inside the clip window
+    assert all(seg["seek"] < 3000 for seg in result["segments"])
