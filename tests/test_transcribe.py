@@ -164,3 +164,14 @@ def test_clip_timestamps(tiny):
     )
     # all segments start inside the clip window
     assert all(seg["seek"] < 3000 for seg in result["segments"])
+
+
+def test_batched_word_timestamps(tiny):
+    params, config, tok = tiny
+    audio = make_speechy_audio(seconds=35.0)
+    result = transcribe(
+        audio, params=params, config=config, tokenizer=tok,
+        temperature=0.0, batch_windows=True, window_batch_size=2,
+        word_timestamps=True, no_speech_threshold=None, verbose=False,
+    )
+    assert any("words" in seg for seg in result["segments"])

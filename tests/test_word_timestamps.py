@@ -144,3 +144,43 @@ def test_add_word_timestamps_distribution(monkeypatch):
     assert seg2.words == [{"word": " world", "start": 12.1, "end": 13.5, "probability": 0.8}]
     # segment boundaries snapped to word boundaries
     assert seg1.start == 10.4 and seg1.end == 11.6
+
+
+def test_native_dtw_matches_numpy():
+    """C++ DTW kernel (native/audio.cc) vs the NumPy implementation."""
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    so = Path("whisper_mlx_tpu/native/libwhisper_tpu_native.so")
+    if not so.exists():
+        rc = subprocess.run([sys.executable, "-m", "whisper_mlx_tpu.native.build"]).returncode
+        if rc != 0:
+            pytest.skip("native build failed")
+    import importlib
+
+    import whisper_mlx_tpu.native as native
+
+    importlib.reload(native)
+    assert native.lib is not None and hasattr(native.lib, "dtw")
+
+    from whisper_mlx_tpu.inference.word_timestamps import dtw as py_dtw
+
+    rng = np.random.default_rng(0)
+    for n, m in ((5, 40), (20, 300), (1, 7)):
+        cost = rng.random((n, m)).astype(np.float32)
+        # numpy reference path (bypass the native fast path inside dtw())
+        import whisper_mlx_tpu.native as nat_mod
+
+        saved = nat_mod.lib
+        nat_mod.lib = None
+        try:
+            ref_t, ref_f = py_dtw(cost)
+        finally:
+            nat_mod.lib = saved
+        got_t, got_f = native.lib.dtw(cost)
+        ref_cost = sum(cost[a, b] for a, b in zip(ref_t, ref_f))
+        got_cost = sum(cost[a, b] for a, b in zip(got_t, got_f))
+        assert abs(ref_cost - got_cost) < 1e-4
+        np.testing.assert_array_equal(got_t, ref_t)
+        np.testing.assert_array_equal(got_f, ref_f)

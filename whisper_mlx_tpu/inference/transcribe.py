@@ -449,6 +449,7 @@ def _transcribe_batched(
         for i in range(real):
             w = start + i
             r = results[i]
+            window_segments: list[Segment] = []
             if (no_speech_threshold is not None
                     and r.no_speech_prob > no_speech_threshold
                     and (logprob_threshold is None or r.avg_logprob < logprob_threshold)):
@@ -469,13 +470,21 @@ def _transcribe_batched(
                 text = tokenizer.decode([t for t in seg_toks.tolist() if t < tokenizer.eot])
                 if not text.strip():
                     continue
-                all_segments.append(Segment(
+                window_segments.append(Segment(
                     id=seg_id, seek=w * N_FRAMES, start=s, end=e, text=text,
                     tokens=list(map(int, seg_toks)), temperature=r.temperature,
                     avg_logprob=r.avg_logprob, compression_ratio=r.compression_ratio,
                     no_speech_prob=r.no_speech_prob,
                 ))
                 seg_id += 1
+            if word_timestamps and window_segments:
+                from whisper_mlx_tpu.inference.word_timestamps import add_word_timestamps
+
+                add_word_timestamps(
+                    window_segments, params, config, tokenizer,
+                    chunk[i], w * N_FRAMES * HOP_LENGTH / SAMPLE_RATE,
+                )
+            all_segments.extend(window_segments)
 
     return {
         "text": "".join(s.text for s in all_segments),

@@ -58,8 +58,16 @@ def dtw(cost: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Monotone alignment path minimizing summed cost.
 
     ``cost`` is (tokens, frames). Returns (text_indices, time_indices) —
-    the standard 3-move (↓, →, ↘) DTW traceback.
+    the standard 3-move (↓, →, ↘) DTW traceback. Uses the native C++ kernel
+    (native/audio.cc wtpu_dtw) when built; NumPy fallback otherwise.
     """
+    try:
+        from whisper_mlx_tpu.native import lib as _native
+
+        if _native is not None:
+            return _native.dtw(cost)
+    except (ImportError, AttributeError, ValueError):
+        pass
     N, M = cost.shape
     D = np.full((N + 1, M + 1), np.inf, dtype=np.float64)
     D[0, 0] = 0.0

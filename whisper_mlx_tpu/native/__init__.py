@@ -39,6 +39,30 @@ class _NativeLib:
             ctypes.c_int,
             ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
         ]
+        self._dll.wtpu_dtw.restype = ctypes.c_longlong
+        self._dll.wtpu_dtw.argtypes = [
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_longlong,
+            ctypes.c_longlong,
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int),
+        ]
+
+    def dtw(self, cost: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Monotone min-cost alignment path (same contract as
+        inference.word_timestamps.dtw)."""
+        cost = np.ascontiguousarray(cost, np.float32)
+        n, m = cost.shape
+        out_text = (ctypes.c_int * (n + m))()
+        out_time = (ctypes.c_int * (n + m))()
+        length = self._dll.wtpu_dtw(
+            cost.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            n, m, out_text, out_time,
+        )
+        if length < 0:
+            raise ValueError("wtpu_dtw failed")
+        return (np.ctypeslib.as_array(out_text)[:length].copy(),
+                np.ctypeslib.as_array(out_time)[:length].copy())
 
     def read_wav(self, path) -> tuple[np.ndarray, int]:
         buf = ctypes.POINTER(ctypes.c_float)()

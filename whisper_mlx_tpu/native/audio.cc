@@ -213,3 +213,50 @@ long long wtpu_resample(const float* in, long long n, int src_rate,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// DTW with 3-move traceback (native counterpart of
+// inference/word_timestamps.py::dtw, used for batch word-timestamp mode).
+// cost: row-major (n, m). Writes the monotone alignment path into
+// out_text/out_time (caller-allocated, capacity n+m); returns path length.
+long long wtpu_dtw(const float* cost, long long n, long long m,
+                   int* out_text, int* out_time) {
+  if (n <= 0 || m <= 0) return -1;
+  const double INF = 1e300;
+  std::vector<double> prev((size_t)m + 1, INF), cur((size_t)m + 1, INF);
+  std::vector<int8_t> trace((size_t)(n + 1) * (m + 1), 0);
+  prev[0] = 0.0;
+  for (long long i = 1; i <= n; i++) {
+    cur[0] = INF;
+    const float* row = cost + (i - 1) * m;
+    for (long long j = 1; j <= m; j++) {
+      double best = prev[j - 1];  // diagonal
+      int8_t move = 0;
+      if (prev[j] < best) { best = prev[j]; move = 1; }   // down
+      if (cur[j - 1] < best) { best = cur[j - 1]; move = 2; }  // right
+      cur[j] = row[j - 1] + best;
+      trace[(size_t)i * (m + 1) + j] = move;
+    }
+    std::swap(prev, cur);
+  }
+  // traceback
+  long long i = n, j = m, len = 0;
+  std::vector<int> ti, tj;
+  while (i > 0 && j > 0) {
+    ti.push_back((int)(i - 1));
+    tj.push_back((int)(j - 1));
+    int8_t move = trace[(size_t)i * (m + 1) + j];
+    if (move == 0) { i--; j--; }
+    else if (move == 1) { i--; }
+    else { j--; }
+  }
+  len = (long long)ti.size();
+  for (long long p = 0; p < len; p++) {
+    out_text[p] = ti[(size_t)(len - 1 - p)];
+    out_time[p] = tj[(size_t)(len - 1 - p)];
+  }
+  return len;
+}
+
+}  // extern "C"
