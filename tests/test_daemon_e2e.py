@@ -267,3 +267,12 @@ def test_session_scoped_python_assets(daemon):
         {"arguments": {"code": "open('marker.txt', 'w').write('x')"}},
     )
     assert status == 200 and body["result"]["returncode"] == 0
+
+
+def test_model_size_validation(daemon):
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        _post("/v1/chat", {"message": "x", "model_size": "gigantic"})
+    assert exc.value.code == 422
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        _post("/v1/sessions", {"model_size": "gigantic"})
+    assert exc.value.code == 422

@@ -212,6 +212,8 @@ async def stateless_chat(request: web.Request) -> web.Response:
     if profile not in ALL_PROFILES:
         return _error(f"unknown profile: {profile}", 404)
     model_size = body.get("model_size", "large")
+    if model_size not in ("small", "medium", "large"):
+        return _error(f"unknown model_size: {model_size}", 422)
 
     request_id = uuid.uuid4().hex[:8]
     position = state.add_to_queue(request_id)
@@ -263,8 +265,11 @@ async def create_session(request: web.Request) -> web.Response:
     profile = body.get("profile", "general")
     if profile not in ALL_PROFILES:
         return _error(f"unknown profile: {profile}", 404)
+    model_size = body.get("model_size", "large")
+    if model_size not in ("small", "medium", "large"):
+        return _error(f"unknown model_size: {model_size}", 422)
     session = get_session_store().create(
-        profile=profile, model_size=body.get("model_size", "large"),
+        profile=profile, model_size=model_size,
         title=body.get("title", ""),
     )
     return _json(session.to_dict(), status=201)
