@@ -149,3 +149,17 @@ def test_prefix_option(tiny_model):
     r = decode(params, mel, tok, config,
                DecodingOptions(sample_len=8, prefix=list(prefix_ids)))
     assert all(x.tokens for x in r)
+
+
+def test_english_only_layout():
+    """.en models: no language tokens; sot sequence is just [sot]."""
+    from whisper_mlx_tpu.decoding.tokenizer import ByteLevelBPE, WhisperTokenizer, bytes_to_unicode
+
+    byte_vocab = {c: i for i, c in enumerate(bytes_to_unicode().values())}
+    tok = WhisperTokenizer(ByteLevelBPE(byte_vocab, []), n_base=256, num_languages=0)
+    assert not tok.multilingual
+    assert tok.sot_sequence == (tok.sot,)
+    assert tok.all_language_tokens == ()
+    # layout collapses: translate/transcribe right after sot
+    assert tok.translate == tok.sot + 1
+    assert tok.timestamp_begin == tok.no_timestamps + 1

@@ -135,7 +135,7 @@ class WhisperTokenizer:
 
     bpe: ByteLevelBPE
     n_base: int = 50257  # text-vocab size before specials
-    num_languages: int = 99
+    num_languages: int = 99  # 0 = English-only (.en) layout
     language: str = "en"
     task: str = "transcribe"
 
@@ -170,7 +170,13 @@ class WhisperTokenizer:
         return self.timestamp_begin + 1501  # timestamps 0.00..30.00 at 0.02 s
 
     @property
+    def multilingual(self) -> bool:
+        return self.num_languages > 0
+
+    @property
     def sot_sequence(self) -> tuple[int, ...]:
+        if not self.multilingual:  # .en models: bare sot
+            return (self.sot,)
         return (self.sot, self.language_token(self.language),
                 self.transcribe if self.task == "transcribe" else self.translate)
 
