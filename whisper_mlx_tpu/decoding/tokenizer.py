@@ -290,11 +290,12 @@ class WhisperTokenizer:
                     result.add(ids[0])
                 elif symbol in miscellaneous and ids:
                     result.add(ids[0])
-        # dash/quote speaker markers
+        # dash/quote speaker markers: FIRST token added unconditionally
+        # (published whisper semantics, unlike the len==1 rule above)
         for tok_str in (" -", " '"):
             try:
                 ids = self.bpe.encode(tok_str)
-                if len(ids) == 1:
+                if ids:
                     result.add(ids[0])
             except KeyError:
                 pass
