@@ -89,3 +89,30 @@ def test_stop_token_halts(engine):
     r = engine.generate("xyz", max_tokens=20, temperature=0.8, seed=3)
     stops = set(engine._stop_ids())
     assert not (set(r.tokens) & stops)
+
+
+def test_engine_speculative_path_matches_plain():
+    """LLMEngine with a draft configured (greedy) == without."""
+    from whisper_mlx_tpu.models.qwen import QwenConfig as QC, init_params as qinit
+
+    tok = ByteFallbackTokenizer()
+    tcfg = QwenConfig(
+        vocab_size=tok.vocab_size, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        rope_theta=10_000.0, tie_word_embeddings=True,
+    )
+    dcfg = QC(
+        vocab_size=tok.vocab_size, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=1, num_attention_heads=2, num_key_value_heads=1,
+        rope_theta=10_000.0, tie_word_embeddings=True,
+    )
+    tparams = qinit(tcfg, seed=0)
+    plain = LLMEngine(tparams, tcfg, tok, max_context=256)
+    spec = LLMEngine(tparams, tcfg, tok, max_context=256,
+                     draft=(qinit(dcfg, seed=5), dcfg))
+    r_plain = plain.generate("hello there", max_tokens=16, temperature=0.0)
+    r_spec = spec.generate("hello there", max_tokens=16, temperature=0.0)
+    assert r_spec.tokens == r_plain.tokens
+    # sampling requests bypass the speculative path
+    r_sampled = spec.generate("hello there", max_tokens=8, temperature=0.9, seed=2)
+    assert r_sampled.generation_tokens <= 8

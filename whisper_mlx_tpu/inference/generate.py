@@ -152,11 +152,15 @@ class LLMEngine:
     """Loaded model + tokenizer; the reference's ``QwenModel`` equivalent."""
 
     def __init__(self, params: Params, config: QwenConfig, tokenizer,
-                 max_context: int = 4096):
+                 max_context: int = 4096,
+                 draft: "tuple[Params, QwenConfig] | None" = None):
         self.params = params
         self.config = config
         self.tokenizer = tokenizer
         self.max_context = max_context
+        # optional draft model for greedy speculative decoding
+        # (inference/speculative.py) — single-stream latency path
+        self.draft = draft
 
     PROMPT_BUCKET = 128  # prompt lengths rounded up → one jit per bucket
 
@@ -208,6 +212,8 @@ class LLMEngine:
         if not ids:
             raise ValueError("generate() requires a non-empty prompt")
         ids, max_tokens = self._fit_context(ids, max_tokens)
+        if self.draft is not None and temperature == 0.0:
+            return self._generate_speculative(ids, max_tokens)
         t_prompt0 = time.perf_counter()
         padded, true_len = self._bucket_prompt(ids)
         prompt_arr = jnp.asarray([padded], jnp.int32)
@@ -225,6 +231,28 @@ class LLMEngine:
         n = int(n)
         dt = time.perf_counter() - t_prompt0
         toks = buf[:n].tolist()
+        while toks and toks[-1] in stops:
+            toks = toks[:-1]
+        text = self.tokenizer.decode(toks)
+        return GenerationResult(
+            text=text, tokens=toks, prompt_tokens=len(ids),
+            generation_tokens=len(toks),
+            prompt_tps=len(ids) / max(dt, 1e-9),
+            generation_tps=len(toks) / max(dt, 1e-9),
+        )
+
+    def _generate_speculative(self, ids: list[int], max_tokens: int) -> GenerationResult:
+        from whisper_mlx_tpu.inference.speculative import speculative_generate
+
+        draft_params, draft_config = self.draft
+        stops = set(self._stop_ids())
+        t0 = time.perf_counter()
+        toks, stats = speculative_generate(
+            self.params, self.config, draft_params, draft_config,
+            ids, max_tokens=max_tokens, stop_ids=stops,
+            max_len=self.max_context,
+        )
+        dt = time.perf_counter() - t0
         while toks and toks[-1] in stops:
             toks = toks[:-1]
         text = self.tokenizer.decode(toks)

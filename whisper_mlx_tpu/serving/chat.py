@@ -177,13 +177,18 @@ class QwenModel:
         from whisper_mlx_tpu.inference.generate import LLMEngine
 
         path = self.model_path or os.environ.get("QWEN_MODEL_PATH")
+        draft_path = os.environ.get("QWEN_DRAFT_PATH")
         t0 = time.perf_counter()
+        draft = None
         if path:
             from whisper_mlx_tpu.checkpoint.qwen_loader import load_qwen
             from whisper_mlx_tpu.decoding.llm_tokenizer import load_llm_tokenizer
 
             params, config = load_qwen(path)
             tokenizer = load_llm_tokenizer(path)
+            if draft_path:
+                # greedy speculative decoding (inference/speculative.py)
+                draft = load_qwen(draft_path)
         else:
             # offline default: tiny random model so the daemon is functional
             # without checkpoints (reference requires a downloaded model)
@@ -199,7 +204,7 @@ class QwenModel:
             )
             params = init_params(config, seed=0)
             logger.warning("no QWEN_MODEL_PATH set: serving a tiny random model")
-        engine = LLMEngine(params, config, tokenizer)
+        engine = LLMEngine(params, config, tokenizer, draft=draft)
         logger.info("model %s loaded in %.1fs", self.model_size, time.perf_counter() - t0)
         return engine
 
