@@ -132,15 +132,32 @@ async function send(message) {
       // SSE event fold (reference useAppState.ts:444-531)
       switch (ev.event) {
         case "generating": pushActivity("generating", `round ${ev.round}`); break;
+        case "token": {
+          // live text: grow a pending assistant bubble
+          let last = state.messages[state.messages.length - 1];
+          if (!last || last.role !== "assistant-pending") {
+            last = { role: "assistant-pending", content: "" };
+            state.messages.push(last);
+          }
+          last.content += ev.text;
+          renderChat();
+          break;
+        }
         case "thinking": pushActivity("thinking", ev.content?.slice(0, 200) ?? ""); break;
         case "tool_call": pushActivity("tool", `${ev.name}(${JSON.stringify(ev.arguments)})`); break;
         case "tool_result":
           pushActivity("result", `${ev.name} · ${Math.round(ev.latency_ms)}ms`, ev.result_preview);
           break;
-        case "response":
+        case "response": {
+          // replace the pending bubble with the final response
+          const lastIdx = state.messages.length - 1;
+          if (lastIdx >= 0 && state.messages[lastIdx].role === "assistant-pending") {
+            state.messages.splice(lastIdx, 1);
+          }
           state.messages.push({ role: "assistant", content: ev.content });
           renderChat();
           break;
+        }
         case "complete": refreshSessions(); break;
         case "error": pushActivity("error", ev.detail ?? "unknown error"); break;
       }

@@ -202,6 +202,7 @@ def test_session_chat_stream_sse(daemon):
                 events.append(json.loads(line[6:]))
     kinds = [e["event"] for e in events]
     assert "complete" in kinds
+    assert "token" in kinds  # live token streaming (beyond-reference)
     complete = events[kinds.index("complete")]
     assert "response" in complete and "queue_stats" in complete
     assert all("timestamp" in e for e in events)

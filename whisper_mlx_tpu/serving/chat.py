@@ -209,10 +209,19 @@ class QwenModel:
         return engine
 
     def generate(self, messages: list[dict[str, str]], max_tokens: int = 1024,
-                 temperature: float = 0.7) -> str:
+                 temperature: float = 0.7, on_token=None) -> str:
         from whisper_mlx_tpu.inference.generate import apply_chat_template
 
         prompt = apply_chat_template(messages)
+        if on_token is not None:
+            # token-level streaming (host loop around the jitted step)
+            chunks = []
+            for chunk in self.engine.stream_generate(
+                prompt, max_tokens=max_tokens, temperature=temperature
+            ):
+                chunks.append(chunk)
+                on_token(chunk)
+            return "".join(chunks)
         return self.engine.generate(
             prompt, max_tokens=max_tokens, temperature=temperature
         ).text
@@ -319,13 +328,22 @@ class ChatService:
         tool_results: list[ToolResult] = []
         rounds = 0
 
+        loop = asyncio.get_running_loop()
         for rounds in range(1, profile.max_tool_rounds + 1):
             await emit("generating", {"round": rounds})
+
+            def _on_token(chunk: str) -> None:
+                # thread → loop: enqueue a token event (SSE live text)
+                asyncio.run_coroutine_threadsafe(
+                    emit("token", {"round": rounds, "text": chunk}), loop
+                )
+
             text = await asyncio.to_thread(
                 self.model.generate,
                 messages,
                 max_tokens or profile.max_tokens,
                 profile.temperature if temperature is None else temperature,
+                _on_token if on_event is not None else None,
             )
             for block in extract_thinking(text):
                 thinking.append(block)
