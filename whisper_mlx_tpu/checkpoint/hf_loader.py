@@ -123,15 +123,11 @@ def convert_hf_whisper_state(
 
 def load_whisper(model_dir: str | Path, dtype=jnp.float32) -> tuple[Params, WhisperConfig]:
     """Load a local HF Whisper directory (config.json + safetensors shards)."""
-    from safetensors.numpy import load_file
+    from whisper_mlx_tpu.checkpoint.io_util import load_safetensors_dir
 
     model_dir = Path(model_dir)
     hf_config = json.loads((model_dir / "config.json").read_text())
     config = config_from_hf(hf_config)
-    state: dict[str, np.ndarray] = {}
-    for shard in sorted(model_dir.glob("*.safetensors")):
-        state.update(load_file(shard))
-    if not state:
-        raise FileNotFoundError(f"no *.safetensors under {model_dir}")
+    state = load_safetensors_dir(model_dir)
     params = convert_hf_whisper_state(state, config, dtype)
     return params, config

@@ -145,17 +145,13 @@ def convert_mlx_whisper_state(
 
 def load_mlx_whisper(model_dir: str | Path, dtype=jnp.float32) -> tuple[Params, WhisperConfig]:
     """Load an mlx-community Whisper model directory."""
-    from safetensors.numpy import load_file
+    from whisper_mlx_tpu.checkpoint.io_util import load_safetensors_dir
 
     model_dir = Path(model_dir)
     cfg = json.loads((model_dir / "config.json").read_text())
     config = config_from_mlx(cfg)
     quant = cfg.get("quantization")
-    sd: dict[str, np.ndarray] = {}
-    for shard in sorted(model_dir.glob("*.safetensors")):
-        sd.update(load_file(shard))
-    if not sd:
-        raise FileNotFoundError(f"no *.safetensors under {model_dir}")
+    sd = load_safetensors_dir(model_dir)
     params = convert_mlx_whisper_state(sd, config, quant, dtype)
     return params, config
 

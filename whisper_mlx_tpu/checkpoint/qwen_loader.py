@@ -131,16 +131,12 @@ def convert_hf_qwen_state(
 
 
 def load_qwen(model_dir: str | Path, dtype=jnp.float32) -> tuple[Params, QwenConfig]:
-    from safetensors.numpy import load_file
+    from whisper_mlx_tpu.checkpoint.io_util import load_safetensors_dir
 
     model_dir = Path(model_dir)
     cfg = json.loads((model_dir / "config.json").read_text())
     config = config_from_hf(cfg)
     quant = cfg.get("quantization")
-    state: dict[str, np.ndarray] = {}
-    for shard in sorted(model_dir.glob("*.safetensors")):
-        state.update(load_file(shard))
-    if not state:
-        raise FileNotFoundError(f"no *.safetensors under {model_dir}")
+    state = load_safetensors_dir(model_dir)
     params = convert_hf_qwen_state(state, config, quant, dtype)
     return params, config
