@@ -175,3 +175,144 @@ def test_batched_word_timestamps(tiny):
         word_timestamps=True, no_speech_threshold=None, verbose=False,
     )
     assert any("words" in seg for seg in result["segments"])
+
+
+# ---------------------------------------------------------------------------
+# hallucination_silence_threshold (reference run:6 passes threshold=1)
+# ---------------------------------------------------------------------------
+
+
+def _seg(start, end, words, seek=0):
+    from whisper_mlx_tpu.inference.transcribe import Segment
+
+    return Segment(
+        id=0, seek=seek, start=start, end=end, text="x",
+        tokens=[1], temperature=0.0, avg_logprob=-0.1,
+        compression_ratio=1.0, no_speech_prob=0.0, words=words,
+    )
+
+
+def _words(start, end, n=4, prob=0.9):
+    """n plausible words evenly spanning [start, end]."""
+    step = (end - start) / n
+    return [
+        {"word": f" w{i}", "start": start + i * step,
+         "end": start + (i + 1) * step, "probability": prob}
+        for i in range(n)
+    ]
+
+
+def test_anomaly_score_helpers():
+    from whisper_mlx_tpu.inference.transcribe import (
+        _is_segment_anomaly,
+        _word_anomaly_score,
+    )
+
+    good = {"word": " hello", "start": 0.0, "end": 0.4, "probability": 0.9}
+    assert _word_anomaly_score(good) == 0.0
+    low_prob = {"word": " x", "start": 0.0, "end": 0.4, "probability": 0.01}
+    assert _word_anomaly_score(low_prob) >= 1.0
+    too_long = {"word": " x", "start": 0.0, "end": 3.5, "probability": 0.9}
+    assert _word_anomaly_score(too_long) >= 1.0
+
+    assert not _is_segment_anomaly(_seg(0, 2, _words(0, 2)))
+    bad = _seg(0, 2, [dict(w, probability=0.01) for w in _words(0, 2)])
+    assert _is_segment_anomaly(bad)
+    assert not _is_segment_anomaly(None)
+
+
+def test_hallucination_skips_leading_silence_gap():
+    """An anomalous first segment after a silent gap > threshold drops the
+    window and re-seeks to the anomaly start (openai-whisper rule 2)."""
+    from whisper_mlx_tpu.audio.mel import FRAMES_PER_SECOND
+    from whisper_mlx_tpu.inference.transcribe import _hallucination_reseek
+
+    # window at t=0..30; hallucinated segment starts at t=10 (gap=10 > 1)
+    hallu = _seg(10.0, 12.0, [dict(w, probability=0.01) for w in _words(10, 12)])
+    segs = [hallu]
+    seek, drop = _hallucination_reseek(
+        segs, seek=3000, previous_seek=0, segment_size=3000,
+        time_offset=0.0, segment_duration=30.0,
+        content_frames=6000, content_duration=60.0,
+        threshold=1.0, last_speech_timestamp=0.0,
+        single_timestamp_ending=True,
+    )
+    assert drop is True
+    assert seek == round(10.0 * FRAMES_PER_SECOND)  # moved past the gap
+
+
+def test_hallucination_truncates_mid_window():
+    """An anomalous segment surrounded by silence truncates the tail and
+    re-seeks just past its start (rule 3)."""
+    from whisper_mlx_tpu.audio.mel import FRAMES_PER_SECOND
+    from whisper_mlx_tpu.inference.transcribe import _hallucination_reseek
+
+    good = _seg(0.5, 4.0, _words(0.5, 4.0))
+    # hallucination at 10..11, silence before (10-4=6s) and after (to window end)
+    hallu = _seg(10.0, 11.0, [dict(w, probability=0.01) for w in _words(10, 11)])
+    segs = [good, hallu]
+    seek, drop = _hallucination_reseek(
+        segs, seek=3000, previous_seek=0, segment_size=3000,
+        time_offset=0.0, segment_duration=30.0,
+        content_frames=20000, content_duration=200.0,
+        threshold=1.0, last_speech_timestamp=0.0,
+        single_timestamp_ending=True,
+    )
+    assert drop is False
+    assert segs == [good]  # hallucination dropped
+    assert seek == round(10.0 * FRAMES_PER_SECOND)
+
+
+def test_hallucination_silent_tail_rewindow():
+    """Long silent tail after the last aligned word re-windows there (rule 1);
+    near EOF the seek jumps to content_frames."""
+    from whisper_mlx_tpu.audio.mel import FRAMES_PER_SECOND
+    from whisper_mlx_tpu.inference.transcribe import _hallucination_reseek
+
+    good = _seg(0.0, 5.0, _words(0.0, 5.0))
+    segs = [good]
+    seek, drop = _hallucination_reseek(
+        segs, seek=3000, previous_seek=0, segment_size=3000,
+        time_offset=0.0, segment_duration=30.0,
+        content_frames=20000, content_duration=200.0,
+        threshold=1.0, last_speech_timestamp=0.0,
+        single_timestamp_ending=False,
+    )
+    assert drop is False
+    # remaining = 30 - 5 = 25 > 1 → re-seek to the last word end
+    assert seek == round(5.0 * FRAMES_PER_SECOND)
+    assert segs == [good]  # plausible speech kept
+
+
+def test_hallucination_near_eof_jumps_to_end():
+    from whisper_mlx_tpu.inference.transcribe import _hallucination_reseek
+
+    good = _seg(0.0, 2.5, _words(0.0, 2.5))
+    hallu = _seg(4.0, 5.0, [dict(w, probability=0.01) for w in _words(4, 5)])
+    segs = [good, hallu]
+    # content ends at 5.5s: within threshold of the hallucination end
+    seek, drop = _hallucination_reseek(
+        segs, seek=550, previous_seek=0, segment_size=550,
+        time_offset=0.0, segment_duration=5.5,
+        content_frames=550, content_duration=5.5,
+        threshold=1.0, last_speech_timestamp=0.0,
+        single_timestamp_ending=True,
+    )
+    assert drop is False
+    assert segs == [good]
+    assert seek == 550  # jumped to content_frames
+
+
+def test_transcribe_accepts_hallucination_flag(tiny):
+    """End-to-end: the flag plus word_timestamps runs the reseek path without
+    breaking the seek loop (random weights → just assert termination+schema)."""
+    params, config, tok = tiny
+    audio = make_speechy_audio(seconds=34.0)
+    result = transcribe(
+        audio, params=params, config=config, tokenizer=tok,
+        temperature=0.0, word_timestamps=True,
+        hallucination_silence_threshold=1.0,
+        no_speech_threshold=None, verbose=False,
+        condition_on_previous_text=False,
+    )
+    assert "segments" in result and "text" in result

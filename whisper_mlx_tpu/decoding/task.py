@@ -236,7 +236,15 @@ def decode(
             toks = tokens_np[c, sample_begin : lengths[c]].tolist()
             n_sampled = len(toks) + 1  # +1 for EOT, whisper's avg denominator
             avg_lp = float(sum_lp[c]) / n_sampled
-            score = float(sum_lp[c])  # greedy/best_of ranks by total logprob
+            # MaximumLikelihoodRanker semantics (whisper decoding): normalize
+            # total logprob by length — or the GoogleNMT penalty when
+            # length_penalty is set — so best_of isn't biased toward shorter
+            # candidates (matches beam.py's finished-pool ranking).
+            if options.length_penalty is None:
+                penalty = float(max(len(toks), 1))
+            else:
+                penalty = ((5.0 + len(toks)) / 6.0) ** options.length_penalty
+            score = float(sum_lp[c]) / penalty
             if score > best_score:
                 best_score = score
                 best = (toks, avg_lp, c)

@@ -146,7 +146,8 @@ def transcribe(
     else:
         clip_points = list(clip_timestamps) or [0.0]
     seek_points = [round(t * FRAMES_PER_SECOND) for t in clip_points]
-    if len(seek_points) == 1:
+    if len(seek_points) % 2 == 1:
+        # odd number of points: the final clip is open-ended → runs to EOF
         seek_points.append(content_frames)
     seek_clips = list(zip(seek_points[::2], seek_points[1::2]))
 
@@ -164,6 +165,7 @@ def transcribe(
     all_tokens: list[int] = []
     all_segments: list[Segment] = []
     prompt_reset_since = 0
+    last_speech_timestamp = 0.0  # end of the last aligned word (hallucination logic)
     if initial_prompt is not None:
         initial_prompt_tokens = tokenizer.encode(" " + initial_prompt.strip())
         all_tokens.extend(initial_prompt_tokens)
@@ -305,14 +307,37 @@ def transcribe(
                         prepend_punctuations, append_punctuations,
                         num_frames=segment_size,
                     )
+                # aligned timestamps beat predicted ones: when the window did
+                # not end on a clean timestamp pair, re-seek to the end of the
+                # last aligned word (whisper word_timestamps semantics)
+                if not single_timestamp_ending:
+                    last_word_end = _get_end(current_segments)
+                    if last_word_end is not None and last_word_end > time_offset:
+                        seek = round(last_word_end * FRAMES_PER_SECOND)
+
                 # hallucination-silence skip (the reference launcher passes
-                # threshold=1 — reference run:6)
+                # threshold=1 — reference run:6; semantics follow the
+                # openai/mlx-whisper heuristic the flag contracts to)
                 if hallucination_silence_threshold is not None:
-                    seek = _apply_hallucination_skip(
-                        current_segments, seek, previous_seek, segment_size,
-                        content_frames, content_duration,
-                        hallucination_silence_threshold,
+                    seek, drop_window = _hallucination_reseek(
+                        current_segments,
+                        seek=seek,
+                        previous_seek=previous_seek,
+                        segment_size=segment_size,
+                        time_offset=time_offset,
+                        segment_duration=segment_duration,
+                        content_frames=content_frames,
+                        content_duration=content_duration,
+                        threshold=hallucination_silence_threshold,
+                        last_speech_timestamp=last_speech_timestamp,
+                        single_timestamp_ending=single_timestamp_ending,
                     )
+                    if drop_window:
+                        continue
+
+                last_word_end = _get_end(current_segments)
+                if last_word_end is not None:
+                    last_speech_timestamp = last_word_end
 
             for seg in current_segments:
                 # reference keeps degenerate segments but blanks their content
@@ -339,27 +364,121 @@ def transcribe(
     }
 
 
-def _apply_hallucination_skip(
-    segments: list[Segment], seek: int, previous_seek: int, segment_size: int,
-    content_frames: int, content_duration: float, threshold: float,
-) -> int:
-    """Skip silent gaps around likely-hallucinated segments (word-level
-    probabilities required). Simplified port of the reference heuristic: if
-    the last segment's words look hallucinated and a long silence follows,
-    jump the seek past the silence."""
+# --- hallucination-silence helpers (whisper anomaly heuristic) --------------
 
-    def is_hallucination(seg: Segment) -> bool:
-        if not seg.words:
-            return True
-        total_logprob = sum(np.log(max(w["probability"], 1e-9)) for w in seg.words)
-        return total_logprob / max(len(seg.words), 1) < np.log(0.15)
+_ANOMALY_PUNCT = "\"'“¿([{-\"'.。,，!！?？:：”)]}、"
 
-    if segments:
-        last = segments[-1]
-        remaining = content_duration - last.end
-        if is_hallucination(last) and remaining > threshold:
-            return seek  # keep normal advance; drop nothing (conservative)
-    return seek
+
+def _word_anomaly_score(word: dict) -> float:
+    """Score how implausible one aligned word looks: low probability,
+    impossibly short, or suspiciously long durations all add to the score."""
+    probability = word.get("probability", 0.0)
+    duration = word["end"] - word["start"]
+    score = 0.0
+    if probability < 0.15:
+        score += 1.0
+    if duration < 0.133:
+        score += (0.133 - duration) * 15.0
+    if duration > 2.0:
+        score += duration - 2.0
+    return score
+
+
+def _is_segment_anomaly(segment: "Segment | None") -> bool:
+    """A segment is anomalous when its first few non-punctuation words are
+    collectively implausible (score ≥ 3, or nearly every word scores)."""
+    if segment is None or not segment.words:
+        return False
+    words = [w for w in segment.words if w["word"].strip() not in _ANOMALY_PUNCT]
+    words = words[:8]
+    if not words:
+        return False
+    score = sum(_word_anomaly_score(w) for w in words)
+    return score >= 3.0 or score + 0.01 >= len(words)
+
+
+def _next_words_segment(segments: list["Segment"]) -> "Segment | None":
+    return next((s for s in segments if s.words), None)
+
+
+def _get_end(segments: list["Segment"]) -> float | None:
+    """End time of the last aligned word across ``segments`` (None if none)."""
+    return next(
+        (w["end"] for s in reversed(segments) for w in reversed(s.words or [])),
+        None,
+    )
+
+
+def _hallucination_reseek(
+    current_segments: list["Segment"],
+    *,
+    seek: int,
+    previous_seek: int,
+    segment_size: int,
+    time_offset: float,
+    segment_duration: float,
+    content_frames: int,
+    content_duration: float,
+    threshold: float,
+    last_speech_timestamp: float,
+    single_timestamp_ending: bool,
+) -> tuple[int, bool]:
+    """``hallucination_silence_threshold`` seek logic. Mutates
+    ``current_segments`` (may truncate trailing hallucinations) and returns
+    ``(new_seek, drop_window)``; ``drop_window=True`` means the caller should
+    discard the window entirely and re-decode from ``new_seek``.
+
+    Three rules, applied in order:
+    1. long silent tail after the last aligned word → re-window there;
+    2. anomalous *first* segment after a silent lead-in gap > threshold →
+       drop the window, re-seek to the anomaly start;
+    3. anomalous segment surrounded by silence mid-window → truncate the
+       segment list at it and re-seek just past its start.
+    """
+    window_end_time = time_offset + segment_duration
+    if not single_timestamp_ending:
+        last_word_end = _get_end(current_segments)
+        if last_word_end is not None and last_word_end > time_offset:
+            remaining = window_end_time - last_word_end
+            if remaining > threshold:
+                seek = round(last_word_end * FRAMES_PER_SECOND)
+            else:
+                seek = previous_seek + segment_size
+
+    first_segment = _next_words_segment(current_segments)
+    if first_segment is not None and _is_segment_anomaly(first_segment):
+        gap = first_segment.start - time_offset
+        if gap > threshold:
+            return previous_seek + round(gap * FRAMES_PER_SECOND), True
+
+    hal_last_end = last_speech_timestamp
+    for si, segment in enumerate(current_segments):
+        if not segment.words:
+            continue
+        if _is_segment_anomaly(segment):
+            next_segment = _next_words_segment(current_segments[si + 1:])
+            if next_segment is not None:
+                hal_next_start = next_segment.words[0]["start"]
+            else:
+                hal_next_start = time_offset + segment_duration
+            silence_before = (
+                segment.start - hal_last_end > threshold
+                or segment.start < threshold
+                or segment.start - time_offset < 2.0
+            )
+            silence_after = (
+                hal_next_start - segment.end > threshold
+                or _is_segment_anomaly(next_segment)
+                or window_end_time - segment.end < 2.0
+            )
+            if silence_before and silence_after:
+                seek = round(max(time_offset + 1, segment.start) * FRAMES_PER_SECOND)
+                if content_duration - segment.end < threshold:
+                    seek = content_frames
+                current_segments[si:] = []
+                break
+        hal_last_end = segment.end
+    return seek, False
 
 
 # ---------------------------------------------------------------------------

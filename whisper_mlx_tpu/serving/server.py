@@ -299,7 +299,7 @@ async def delete_session(request: web.Request) -> web.Response:
 async def session_chat(request: web.Request) -> web.Response:
     state: AppState = request.app["state"]
     store = get_session_store()
-    session = store.get(request.match_info["id"])
+    session = _safe_get_session(request.match_info["id"])
     if session is None:
         return _error("session not found", 404)
     try:
@@ -360,7 +360,7 @@ async def session_chat_stream(request: web.Request) -> web.StreamResponse:
     asyncio.Queue into ``data: {json}\\n\\n`` frames."""
     state: AppState = request.app["state"]
     store = get_session_store()
-    session = store.get(request.match_info["id"])
+    session = _safe_get_session(request.match_info["id"])
     if session is None:
         return _error("session not found", 404)
     try:
@@ -471,13 +471,21 @@ async def transcribe_endpoint(request: web.Request) -> web.Response:
         reader = await request.multipart()
         async for part in reader:
             if part.name == "file":
+                import os
+                import re
                 import tempfile
 
-                with tempfile.NamedTemporaryFile(suffix=part.filename or ".wav",
-                                                 delete=False) as f:
+                # keep only a sane extension from the client name (decoder
+                # dispatch needs it); never trust the full filename
+                ext = os.path.splitext(part.filename or "")[1].lower()
+                suffix = ext if re.fullmatch(r"\.[a-z0-9]{1,5}", ext) else ".wav"
+                with tempfile.NamedTemporaryFile(suffix=suffix, delete=False) as f:
                     f.write(await part.read())
                     tmp_path = f.name
-                audio = load_audio(tmp_path)
+                try:
+                    audio = load_audio(tmp_path)
+                finally:
+                    os.unlink(tmp_path)
             elif part.name == "options":
                 options = json.loads(await part.text())
     else:
