@@ -114,37 +114,58 @@ def _zeros_quant_params(params, bits: int, group_size: int):
     return out
 
 
-def _require_backend(timeout_s: float) -> None:
-    """Fail loudly (exit 2) if the accelerator cannot initialize — a wedged
-    axon claim otherwise hangs the whole bench with no output."""
-    import threading
+def _require_backend(total_budget_s: float) -> None:
+    """Wait (patiently, with retries) until the accelerator initializes, or
+    fail loudly with exit 2.
 
-    result: dict = {}
+    A wedged axon claim fails with UNAVAILABLE only after ~25 min of silence,
+    and sometimes recovers on a later attempt — so probe in *subprocesses*
+    (a failed in-process init is cached by jax and unrecoverable) and retry
+    until ``total_budget_s`` is spent. Tune with BENCH_INIT_TIMEOUT.
+    """
+    import subprocess
 
-    def probe():
+    deadline = time.time() + total_budget_s
+    attempt = 0
+    last_err = ""
+    while True:
+        attempt += 1
+        remaining = deadline - time.time()
+        if remaining <= 0:
+            print(
+                f"# bench aborted: backend init failed after {attempt - 1} "
+                f"attempt(s) / {total_budget_s:.0f}s budget: {last_err[-400:]}",
+                file=sys.stderr,
+            )
+            raise SystemExit(2)
+        t0 = time.time()
         try:
-            import jax
-
-            result["devices"] = jax.devices()
-        except Exception as exc:  # noqa: BLE001
-            result["error"] = exc
-
-    t = threading.Thread(target=probe, daemon=True)
-    t.start()
-    t.join(timeout_s)
-    if t.is_alive() or "error" in result:
+            proc = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; print(jax.devices())"],
+                capture_output=True, text=True,
+                # per-attempt cap: natural UNAVAILABLE lands ~1500s; only
+                # kill as a last resort (a mid-init kill can worsen a wedge)
+                timeout=min(remaining + 60, 2100),
+            )
+            if proc.returncode == 0:
+                print(
+                    f"# backend probe ok on attempt {attempt} "
+                    f"({time.time() - t0:.0f}s)", file=sys.stderr)
+                return
+            last_err = (proc.stderr or "").strip().splitlines()[-1] if proc.stderr else f"rc={proc.returncode}"
+        except subprocess.TimeoutExpired:
+            last_err = f"probe killed after {time.time() - t0:.0f}s"
         print(
-            f"# bench aborted: backend init {'timed out' if t.is_alive() else 'failed'} "
-            f"after {timeout_s:.0f}s: {result.get('error', '')}",
-            file=sys.stderr,
-        )
-        raise SystemExit(2)
+            f"# backend probe attempt {attempt} failed after "
+            f"{time.time() - t0:.0f}s: {last_err[-200:]}", file=sys.stderr)
+        time.sleep(min(120.0, max(0.0, deadline - time.time())))
 
 
 def main() -> None:
     import dataclasses
 
-    _require_backend(float(os.environ.get("BENCH_INIT_TIMEOUT", "300")))
+    _require_backend(float(os.environ.get("BENCH_INIT_TIMEOUT", "2700")))
 
     import jax
     import jax.numpy as jnp
