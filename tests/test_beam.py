@@ -63,7 +63,9 @@ def host_beam_search(params, config, tok, states, init_tokens, sample_begin,
             lg = apply_filters(lg, jnp.asarray(buf), jnp.int32(len(seq)),
                                suppress, blank, filter_cfg)
             lp = np.asarray(jax.nn.log_softmax(lg, axis=-1))[0]
-            for t in np.argsort(-lp):  # best-first
+            # stable: ties break by ascending token id, the reference's
+            # insertion order and lax.top_k's flat-index order
+            for t in np.argsort(-lp, kind="stable"):  # best-first
                 candidates.append((cum + lp[t], int(t), b))
                 if len([c for c in candidates if c[2] == b]) >= beam_size + 1:
                     break
@@ -158,3 +160,119 @@ def test_beam_patience_pool(tiny):
                DecodingOptions(sample_len=12, beam_size=2, patience=2.0))
     assert len(r) == 2
     assert all(np.isfinite(x.avg_logprob) for x in r)
+
+
+def _run_beam_raw(params, config, tok, states, beam_size, patience, sample_len):
+    """Call beam_decode directly to expose the full finished pool."""
+    from whisper_mlx_tpu.decoding.beam import beam_decode
+
+    opts = DecodingOptions(sample_len=sample_len, beam_size=beam_size,
+                           patience=patience)
+    init_tokens, sot_index, sample_begin = build_initial_tokens(
+        tok, opts, config.n_text_ctx)
+    suppress_ids = _resolve_suppress(opts, tok)
+    blank_ids = tuple(tok.encode(" ")) + (tok.eot,)
+    always, begin = make_suppress_mask(config.n_vocab, suppress_ids, blank_ids)
+    fc = FilterConfig(
+        eot=tok.eot, no_timestamps=tok.no_timestamps,
+        timestamp_begin=tok.timestamp_begin, sample_begin=sample_begin,
+        max_initial_timestamp_index=50,
+    )
+    P = max(round(beam_size * (patience or 1.0)), 1)
+    N = states.shape[0]
+    res = beam_decode(
+        params, states,
+        jnp.tile(jnp.asarray(init_tokens, jnp.int32)[None, :], (N, 1)),
+        jnp.asarray(always), jnp.asarray(begin),
+        config=config, filter_cfg=fc, sample_len=sample_len,
+        sot_index=sot_index, no_speech_token=tok.no_speech,
+        beam_size=beam_size, pool_size=P,
+    )
+    return res, sample_begin
+
+
+def _pool_sequences(res, sample_begin):
+    """Valid (score>-inf) finished hypotheses as token tuples per window."""
+    toks = np.asarray(res.tokens)
+    lens = np.asarray(res.lengths)
+    scores = np.asarray(res.scores)
+    out = []
+    for w in range(toks.shape[0]):
+        seqs = []
+        for p in range(toks.shape[1]):
+            if not np.isfinite(scores[w, p]):
+                continue
+            L = int(lens[w, p])
+            seqs.append(tuple(toks[w, p, sample_begin : sample_begin + L]))
+        out.append(seqs)
+    return out
+
+
+def test_beam_pool_has_no_duplicates(tiny):
+    """Reference dedupes identical hypotheses via dict keys; here they must be
+    structurally absent — including the patience>1 backfill path that used to
+    replicate the worst live beam into the spare slots (r2 fix)."""
+    params, config, tok, mel = tiny
+    states = encode(params, mel, config)
+    for beam_size, patience in [(2, 2.0), (3, 1.0), (2, 3.0)]:
+        res, sample_begin = _run_beam_raw(
+            params, config, tok, states, beam_size, patience, sample_len=10)
+        counts = np.asarray(res.fin_count)
+        for w, seqs in enumerate(_pool_sequences(res, sample_begin)):
+            assert len(seqs) == counts[w]
+            assert len(set(seqs)) == len(seqs), (
+                f"duplicate hypotheses b={beam_size} p={patience} w={w}: {seqs}")
+
+
+def test_beam_pool_distinct_under_full_ties(tiny):
+    """Zero weights → fully uniform logits → maximal tie pressure; the pool
+    must still be duplicate-free and the decode deterministic."""
+    params, config, tok, mel = tiny
+    zero_params = jax.tree.map(lambda a: a * 0, params)
+    states = encode(zero_params, mel, config)
+    res, sample_begin = _run_beam_raw(
+        zero_params, config, tok, states, beam_size=3, patience=2.0,
+        sample_len=8)
+    for seqs in _pool_sequences(res, sample_begin):
+        assert seqs, "pool empty"
+        assert len(set(seqs)) == len(seqs), f"tie duplicates: {seqs}"
+
+
+def test_beam_matches_host_reference_under_ties(tiny):
+    """Tie case: with uniform (zero-weight) logits both the host reference and
+    the jitted beam must break ties identically — lexicographically by
+    (parent, token id) — and return the same best hypothesis."""
+    params, config, tok, mel = tiny
+    zero_params = jax.tree.map(lambda a: a * 0, params)
+    opts = DecodingOptions(sample_len=8, beam_size=3)
+    jit_results = decode(zero_params, mel, tok, config, opts)
+
+    init_tokens, sot_index, sample_begin = build_initial_tokens(tok, opts, config.n_text_ctx)
+    suppress_ids = _resolve_suppress(opts, tok)
+    blank_ids = tuple(tok.encode(" ")) + (tok.eot,)
+    always, begin = make_suppress_mask(config.n_vocab, suppress_ids, blank_ids)
+    fc = FilterConfig(
+        eot=tok.eot, no_timestamps=tok.no_timestamps,
+        timestamp_begin=tok.timestamp_begin, sample_begin=sample_begin,
+        max_initial_timestamp_index=50,
+    )
+    states = encode(zero_params, mel, config)
+    for w in range(2):
+        finished, live = host_beam_search(
+            zero_params, config, tok, states[w : w + 1], init_tokens, sample_begin,
+            beam_size=3, sample_len=8, filter_cfg=fc,
+            suppress=jnp.asarray(always), blank=jnp.asarray(begin),
+        )
+        pool = list(finished)
+        if len(pool) < 3:
+            pool += [(seq + (tok.eot,), score) for seq, score, _ in live]
+
+        def rank(item):
+            seq, score = item
+            L = max(len(seq) - sample_begin - 1, 1)
+            return score / L
+
+        best_seq, _ = max(pool, key=rank)
+        expected = list(best_seq[sample_begin:-1])
+        assert jit_results[w].tokens == expected, (
+            f"tie window {w}: jit {jit_results[w].tokens} != host {expected}")

@@ -16,8 +16,19 @@ Semantics preserved from the reference:
 - finalize ranks finished hypotheses by GoogleNMT length penalty
   (``((5+L)/6)**lp``, or plain length normalization when lp is None).
 
-Known divergence: the reference dedupes *identical* hypothesis strings via
-dict keys; duplicates here survive as separate beams (tie-breaking only).
+Hypothesis uniqueness: the reference dedupes identical hypothesis strings
+via dict keys. Here duplicates are structurally impossible instead — step 0
+leaves a single live beam (the rest are -inf-masked), and every later step's
+candidates are (parent, token) pairs over pairwise-distinct parent
+sequences, so live beams stay pairwise distinct by induction; the finished
+pool inherits distinctness (finished-at-step-t and backfilled-live entries
+also differ in length). The final backfill adds each live beam at most once
+(slots beyond ``fin_count + B`` stay -inf). Tie-breaking matches the
+reference's stable ordering: both resolve equal scores lexicographically by
+(parent, token id) — ``lax.top_k`` over the flattened (B*V) axis breaks
+ties by flat index, the reference's stable sort by insertion order.
+Verified by the tie-heavy distinctness + host-equivalence tests in
+tests/test_beam.py.
 """
 
 from __future__ import annotations
@@ -214,17 +225,20 @@ def beam_decode(
 
     def backfill(ft, fl, fs, count, live_t, live_s, cur_len):
         idx = jnp.arange(P)
-        need = idx >= count
-        src = jnp.clip(idx - count, 0, B - 1)
+        src_raw = idx - count
+        # each live beam joins the pool at most ONCE (the reference adds each
+        # unfinished hypothesis once; slots beyond count+B stay empty/-inf)
+        valid = (idx >= count) & (src_raw < B)
+        src = jnp.clip(src_raw, 0, B - 1)
         cand_t = live_t[src]
         # live hypotheses have no EOT; append one at cur_len
         cand_t = jax.vmap(
             lambda t: jax.lax.dynamic_update_slice(t, jnp.asarray([eot], jnp.int32), (cur_len,))
         )(cand_t)
         cand_s = live_s[src]
-        ft = jnp.where(need[:, None], cand_t, ft)
-        fs = jnp.where(need, cand_s, fs)
-        fl = jnp.where(need, cur_len - n_init, fl)
+        ft = jnp.where(valid[:, None], cand_t, ft)
+        fs = jnp.where(valid, cand_s, fs)
+        fl = jnp.where(valid, cur_len - n_init, fl)
         return ft, fl, fs
 
     fin_tokens, fin_lengths, fin_scores = jax.vmap(backfill)(
@@ -236,7 +250,7 @@ def beam_decode(
         tokens=fin_tokens,
         lengths=fin_lengths,
         scores=fin_scores,
-        fin_count=jnp.full((N,), P, jnp.int32),
+        fin_count=jnp.minimum(final.fin_count + B, P),
         no_speech_probs=no_speech_probs,
     )
 
