@@ -14,10 +14,14 @@ Two loops:
 
 from __future__ import annotations
 
+import threading
 import time
 from dataclasses import dataclass
 from functools import partial
-from typing import Iterator
+from typing import TYPE_CHECKING, Iterator
+
+if TYPE_CHECKING:
+    from whisper_mlx_tpu.inference.batch_engine import ContinuousBatchEngine
 
 import jax
 import jax.numpy as jnp
@@ -38,12 +42,15 @@ from whisper_mlx_tpu.models.qwen import (
 def sample_token(
     logits: jnp.ndarray,  # (b, V) fp32
     rng: jax.Array,
-    temperature: jnp.ndarray,  # scalar, traced
+    temperature: jnp.ndarray,  # scalar, or (b,) per-row (continuous batching)
     top_p: float = 1.0,
     top_k: int = 0,
 ) -> jnp.ndarray:
     """Greedy at temperature 0, else nucleus/top-k sampling."""
     greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    temperature = jnp.asarray(temperature)
+    if temperature.ndim == 1:
+        temperature = temperature[:, None]
     scaled = logits / jnp.maximum(temperature, 1e-6)
 
     if top_k and top_k > 0:
@@ -59,7 +66,8 @@ def sample_token(
         scaled = jnp.where(scaled < cutoff, -jnp.inf, scaled)
 
     sampled = jax.random.categorical(rng, scaled, axis=-1).astype(jnp.int32)
-    return jnp.where(temperature > 0, sampled, greedy)
+    use_sample = (temperature > 0).reshape(sampled.shape) if temperature.ndim else temperature > 0
+    return jnp.where(use_sample, sampled, greedy)
 
 
 # ---------------------------------------------------------------------------
@@ -161,6 +169,22 @@ class LLMEngine:
         # optional draft model for greedy speculative decoding
         # (inference/speculative.py) — single-stream latency path
         self.draft = draft
+        self._batch_engine = None
+        self._batch_lock = threading.Lock()
+
+    def continuous(self, slots: int = 4) -> "ContinuousBatchEngine":
+        """Shared continuous-batching engine over the same weights
+        (inference/batch_engine.py): S concurrent requests share one resident
+        decode batch instead of serializing behind a lock."""
+        from whisper_mlx_tpu.inference.batch_engine import ContinuousBatchEngine
+
+        with self._batch_lock:
+            if self._batch_engine is None:
+                self._batch_engine = ContinuousBatchEngine(
+                    self.params, self.config, self.tokenizer,
+                    slots=slots, max_len=self.max_context,
+                )
+            return self._batch_engine
 
     PROMPT_BUCKET = 128  # prompt lengths rounded up → one jit per bucket
 

@@ -107,11 +107,16 @@ def rope_cos_sin(positions: jnp.ndarray, hd: int, theta: float, dtype) -> tuple:
 
 
 def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarray:
-    """x (b, h, t, hd); cos/sin (t, hd//2). HF 'rotate_half' convention."""
+    """x (b, h, t, hd); cos/sin (t, hd//2) shared or (b, t, hd//2) per-row.
+    HF 'rotate_half' convention."""
     hd = x.shape[-1]
     x1, x2 = x[..., : hd // 2], x[..., hd // 2 :]
-    c = cos[None, None, :, :]
-    s = sin[None, None, :, :]
+    if cos.ndim == 3:  # per-row positions (continuous batching)
+        c = cos[:, None, :, :]
+        s = sin[:, None, :, :]
+    else:
+        c = cos[None, None, :, :]
+        s = sin[None, None, :, :]
     return jnp.concatenate([x1 * c - x2 * s, x2 * c + x1 * s], axis=-1)
 
 
@@ -127,13 +132,20 @@ def init_kv_cache(config: QwenConfig, batch: int, max_len: int, dtype=None):
 def decode_step(
     params: Params,
     tokens: jnp.ndarray,  # (b, t)
-    pos: jnp.ndarray,  # scalar first position
+    pos: jnp.ndarray,  # scalar first position, or (b,) per-row positions
     kv_cache: list[Params],
     config: QwenConfig,
 ):
-    """Prefill (t>1) or incremental (t=1) step; returns (logits, new_cache)."""
+    """Prefill (t>1) or incremental (t=1) step; returns (logits, new_cache).
+
+    ``pos`` may be a (b,) vector — each batch row decodes at its own cache
+    position (continuous batching: rows are independent in-flight requests,
+    inference/batch_engine.py). Per-row mode uses per-row RoPE tables, a
+    per-row causal mask, and a vmapped per-row cache scatter.
+    """
     b, t = tokens.shape
     max_len = kv_cache[0]["k"].shape[2]
+    per_row = getattr(pos, "ndim", 0) == 1
     H, KV, hd = config.num_attention_heads, config.num_key_value_heads, config.hd
     x = params["embed"].astype(config.dtype)[tokens] if type(params["embed"]).__name__ != "QuantTensor" else None
     if x is None:
@@ -141,12 +153,19 @@ def decode_step(
 
         x = quant_rows(params["embed"], tokens, dtype=config.dtype)
 
-    positions = pos + jnp.arange(t)
-    cos, sin = rope_cos_sin(positions, hd, config.rope_theta, jnp.float32)
-
-    q_idx = jnp.arange(t)[:, None] + pos
-    k_idx = jnp.arange(max_len)[None, :]
-    mask = jnp.where(k_idx <= q_idx, 0.0, -jnp.inf)
+    if per_row:
+        positions = pos[:, None] + jnp.arange(t)[None, :]  # (b, t)
+        cos, sin = rope_cos_sin(positions, hd, config.rope_theta, jnp.float32)
+        q_idx = jnp.arange(t)[None, :, None] + pos[:, None, None]  # (b, t, 1)
+        k_idx = jnp.arange(max_len)[None, None, :]
+        mask = jnp.where(k_idx <= q_idx, 0.0, -jnp.inf)  # (b, t, max_len)
+        mask = mask[:, None]  # (b, 1, t, max_len) → broadcast over heads
+    else:
+        positions = pos + jnp.arange(t)
+        cos, sin = rope_cos_sin(positions, hd, config.rope_theta, jnp.float32)
+        q_idx = jnp.arange(t)[:, None] + pos
+        k_idx = jnp.arange(max_len)[None, :]
+        mask = jnp.where(k_idx <= q_idx, 0.0, -jnp.inf)
 
     new_cache = []
     for i, blk in enumerate(params["layers"]):
@@ -160,8 +179,15 @@ def decode_step(
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
 
-        k_full = jax.lax.dynamic_update_slice_in_dim(kv_cache[i]["k"], k.astype(kv_cache[i]["k"].dtype), pos, axis=2)
-        v_full = jax.lax.dynamic_update_slice_in_dim(kv_cache[i]["v"], v.astype(kv_cache[i]["v"].dtype), pos, axis=2)
+        if per_row:
+            scatter = jax.vmap(
+                lambda c, u, p: jax.lax.dynamic_update_slice_in_dim(c, u, p, axis=1)
+            )
+            k_full = scatter(kv_cache[i]["k"], k.astype(kv_cache[i]["k"].dtype), pos)
+            v_full = scatter(kv_cache[i]["v"], v.astype(kv_cache[i]["v"].dtype), pos)
+        else:
+            k_full = jax.lax.dynamic_update_slice_in_dim(kv_cache[i]["k"], k.astype(kv_cache[i]["k"].dtype), pos, axis=2)
+            v_full = jax.lax.dynamic_update_slice_in_dim(kv_cache[i]["v"], v.astype(kv_cache[i]["v"].dtype), pos, axis=2)
         new_cache.append({"k": k_full, "v": v_full})
 
         # GQA: repeat kv heads to full heads
@@ -169,7 +195,7 @@ def decode_step(
         k_r = jnp.repeat(k_full, rep, axis=1)
         v_r = jnp.repeat(v_full, rep, axis=1)
         scale = 1.0 / math.sqrt(hd)
-        if config.flash_attention and t > 1:
+        if config.flash_attention and t > 1 and not per_row:
             # prefill via the Pallas flash kernel (causal); the convention
             # there is q/k each pre-scaled by hd**-0.25
             from whisper_mlx_tpu.ops.flash_attention import flash_attention

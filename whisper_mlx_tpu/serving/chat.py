@@ -208,11 +208,34 @@ class QwenModel:
         logger.info("model %s loaded in %.1fs", self.model_size, time.perf_counter() - t0)
         return engine
 
+    @staticmethod
+    def _batch_slots() -> int:
+        import os
+
+        try:
+            return max(1, int(os.environ.get("QWEN_BATCH_SLOTS", "1")))
+        except ValueError:
+            return 1
+
     def generate(self, messages: list[dict[str, str]], max_tokens: int = 1024,
                  temperature: float = 0.7, on_token=None) -> str:
         from whisper_mlx_tpu.inference.generate import apply_chat_template
 
         prompt = apply_chat_template(messages)
+        slots = self._batch_slots()
+        if slots > 1:
+            # continuous batching: concurrent requests share one resident
+            # decode batch (inference/batch_engine.py) instead of serializing
+            handle = self.engine.continuous(slots).submit(
+                prompt, max_tokens=max_tokens, temperature=temperature
+            )
+            if on_token is None:
+                return handle.result_text()
+            chunks = []
+            for chunk in handle.text_stream():
+                chunks.append(chunk)
+                on_token(chunk)
+            return "".join(chunks)
         if on_token is not None:
             # token-level streaming (host loop around the jitted step)
             chunks = []

@@ -51,13 +51,26 @@ GENERATION_TIMEOUT_S = 1800  # reference server.py:742,789
 
 
 class AppState:
-    """Generation lock + queue bookkeeping (reference server.py:273-355)."""
+    """Generation guard + queue bookkeeping (reference server.py:273-355).
 
-    def __init__(self) -> None:
-        self.generation_lock = asyncio.Lock()
+    Default (``batch_slots=1``) keeps the reference's single-writer lock.
+    With ``batch_slots=N`` (env QWEN_BATCH_SLOTS / --batch-slots) the guard
+    becomes an N-slot semaphore and generation routes through the continuous
+    batching engine (inference/batch_engine.py) — N chats overlap on one
+    resident decode batch. The ``queue_stats`` wire contract is unchanged:
+    ``queue_position`` = requests ahead at arrival, ``active`` = oldest
+    in-flight request id (or null).
+    """
+
+    def __init__(self, batch_slots: int = 1) -> None:
+        self.batch_slots = max(1, batch_slots)
+        self.generation_lock: Any = (
+            asyncio.Lock() if self.batch_slots == 1
+            else asyncio.Semaphore(self.batch_slots)
+        )
         self._queue_lock = threading.Lock()
         self._queue: list[str] = []
-        self._active: str | None = None
+        self._active: list[str] = []
         self._services: dict[str, ChatService] = {}
         self._service_lock = threading.Lock()
         self.started_at = time.time()
@@ -65,9 +78,9 @@ class AppState:
 
     # queue bookkeeping (reference :307-335)
     def add_to_queue(self, request_id: str) -> int:
-        """→ number of requests ahead (queued + the active one)."""
+        """→ number of requests ahead (queued + active)."""
         with self._queue_lock:
-            position = len(self._queue) + (1 if self._active is not None else 0)
+            position = len(self._queue) + len(self._active)
             self._queue.append(request_id)
             return position
 
@@ -75,19 +88,19 @@ class AppState:
         with self._queue_lock:
             if request_id in self._queue:
                 self._queue.remove(request_id)
-            self._active = request_id
+            self._active.append(request_id)
 
     def finish(self, request_id: str) -> None:
         with self._queue_lock:
-            if self._active == request_id:
-                self._active = None
+            if request_id in self._active:
+                self._active.remove(request_id)
             if request_id in self._queue:
                 self._queue.remove(request_id)
 
     def queue_snapshot(self) -> dict[str, Any]:
         with self._queue_lock:
             return {
-                "active": self._active,
+                "active": self._active[0] if self._active else None,
                 "queued": list(self._queue),
                 "queue_length": len(self._queue),
             }
@@ -555,9 +568,16 @@ async def transcribe_stream_endpoint(request: web.Request) -> web.StreamResponse
 
 
 def create_app(preload: bool = False, whisper_model: str | None = None,
-               serve_ui: bool = False) -> web.Application:
+               serve_ui: bool = False, batch_slots: int | None = None) -> web.Application:
+    import os
+
+    if batch_slots is None:
+        try:
+            batch_slots = int(os.environ.get("QWEN_BATCH_SLOTS", "1"))
+        except ValueError:
+            batch_slots = 1
     app = web.Application(client_max_size=256 * 1024 * 1024)
-    app["state"] = AppState()
+    app["state"] = AppState(batch_slots=batch_slots)
     app["asr"] = None
 
     if serve_ui:
@@ -653,9 +673,17 @@ def main(argv: list[str] | None = None) -> int:
                         help="model dir/name for /v1/transcribe")
     parser.add_argument("--ui", action="store_true",
                         help="serve the web UI from frontend/ at /ui")
+    parser.add_argument("--batch-slots", type=int, default=None,
+                        help="continuous-batching slots for chat generation "
+                             "(default 1 = reference single-writer lock; "
+                             "env QWEN_BATCH_SLOTS)")
     args = parser.parse_args(argv)
+    if args.batch_slots is not None:
+        import os
+
+        os.environ["QWEN_BATCH_SLOTS"] = str(args.batch_slots)
     app = create_app(preload=args.preload, whisper_model=args.whisper_model,
-                     serve_ui=args.ui)
+                     serve_ui=args.ui, batch_slots=args.batch_slots)
     web.run_app(app, host=args.host, port=args.port)
     return 0
 
