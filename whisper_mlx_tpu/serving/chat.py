@@ -176,6 +176,15 @@ class QwenModel:
 
         from whisper_mlx_tpu.inference.generate import LLMEngine
 
+        scripted = os.environ.get("QWEN_SCRIPTED_MODEL")
+        if scripted:
+            # deterministic golden-session engine (serving/scripted.py):
+            # full agent loop + real tools with assertable outputs
+            from whisper_mlx_tpu.serving.scripted import ScriptedEngine
+
+            logger.warning("serving SCRIPTED model from %s", scripted)
+            return ScriptedEngine.from_file(scripted)
+
         path = self.model_path or os.environ.get("QWEN_MODEL_PATH")
         draft_path = os.environ.get("QWEN_DRAFT_PATH")
         t0 = time.perf_counter()

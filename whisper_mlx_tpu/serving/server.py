@@ -356,12 +356,19 @@ async def session_chat(request: web.Request) -> web.Response:
     finally:
         state.finish(request_id)
 
-    session.add_message("assistant", response.response, rounds=response.rounds)
+    tool_results = [
+        {"name": r.name, "arguments": r.arguments,
+         "result": r.result, "latency_ms": r.latency_ms}
+        for r in response.tool_results
+    ]
+    session.add_message("assistant", response.response, rounds=response.rounds,
+                        tool_results=tool_results)
     store.save(session)
     return _json({
         "session": session.summary(),
         "response": response.response,
         "thinking": list(response.thinking),
+        "tool_results": tool_results,
         "rounds": response.rounds,
         "latency_ms": response.latency_ms,
         "queue_stats": _queue_stats(position > 0, wait_ms, position),
