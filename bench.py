@@ -207,6 +207,10 @@ def main() -> None:
     params = _zeros_params(config, jnp.bfloat16)
     if quant_bits:
         params = _zeros_quant_params(params, quant_bits, group_size=64)
+        if os.environ.get("BENCH_FUSE_QKV", "1") == "1":
+            from whisper_mlx_tpu.ops.quant import fuse_whisper_qkv
+
+            params = fuse_whisper_qkv(params)
 
     rng = np.random.default_rng(0)
     audio = rng.standard_normal((batch, N_SAMPLES)).astype(np.float32) * 0.1

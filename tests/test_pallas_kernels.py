@@ -122,3 +122,45 @@ def test_encoder_flash_flag_matches_xla():
     with mock.patch.object(fa, "flash_attention", interp):
         out = np.asarray(encode(params, mel, cfg_flash))
     np.testing.assert_allclose(out, ref, atol=2e-4, rtol=2e-4)
+
+
+def test_quant_matmul_pallas_bf16_compute():
+    """bf16 activations take the bf16 dequant+dot path (the serving path);
+    error stays within bf16 rounding of the exact dequant matmul."""
+    rng = np.random.default_rng(2)
+    M, K, N = 8, 256, 384
+    w = rng.standard_normal((N, K)).astype(np.float32)
+    x = rng.standard_normal((M, K)).astype(np.float32)
+    w_q, scales, biases = quantize(w, bits=4, group_size=64)
+    qt = QuantTensor(jnp.asarray(w_q), jnp.asarray(scales), jnp.asarray(biases), 4, 64)
+    ref = x @ dequantize(w_q, scales, biases, 4, 64).T
+    out = np.asarray(
+        quant_matmul_pallas(jnp.asarray(x, jnp.bfloat16), qt, interpret=True)
+    ).astype(np.float32)
+    # error must stay at bf16-rounding scale relative to the SIGNAL (outputs
+    # near zero make pointwise relative error meaningless): measured ~0.7%
+    # of mean |ref|, same as the bf16 XLA dequant-matmul's own rounding
+    signal = np.abs(ref).mean()
+    err = np.abs(out - ref)
+    assert err.mean() < 0.02 * signal, (err.mean(), signal)
+    assert err.max() < 0.10 * np.abs(ref).max(), (err.max(), np.abs(ref).max())
+
+
+def test_stacked_quant_matmul_matches_parts():
+    """stack_quant (fused QKV) is exact: the stacked dequant matmul equals
+    the concatenation of the per-projection results."""
+    from whisper_mlx_tpu.ops.quant import stack_quant
+
+    rng = np.random.default_rng(3)
+    M, K, N = 4, 128, 128
+    x = rng.standard_normal((M, K)).astype(np.float32)
+    qts, refs = [], []
+    for seed in range(3):
+        w = np.random.default_rng(seed).standard_normal((N, K)).astype(np.float32)
+        w_q, s, b = quantize(w, bits=4, group_size=64)
+        qts.append(QuantTensor(jnp.asarray(w_q), jnp.asarray(s), jnp.asarray(b), 4, 64))
+        refs.append(x @ dequantize(w_q, s, b, 4, 64).T)
+    fused = stack_quant(qts)
+    assert fused.shape == (3 * N, K)
+    out = np.asarray(quant_matmul_pallas(jnp.asarray(x), fused, interpret=True))
+    np.testing.assert_allclose(out, np.concatenate(refs, axis=1), atol=2e-4, rtol=2e-4)

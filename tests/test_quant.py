@@ -251,3 +251,23 @@ def test_quantize_jax_matches_numpy():
     np.testing.assert_array_equal(np.asarray(qt.w_q), w_q)
     np.testing.assert_allclose(np.asarray(qt.scales), scales, atol=1e-7)
     np.testing.assert_allclose(np.asarray(qt.biases), biases, atol=1e-7)
+
+
+def test_fused_qkv_decode_identical(tiny):
+    """fuse_whisper_qkv is bit-exact: fused-QKV decode produces the same
+    tokens and logprob as the unfused quantized model (VERDICT r1 item 3)."""
+    from whisper_mlx_tpu.ops.quant import fuse_whisper_qkv
+
+    params, config, tok, mel = tiny
+    qparams = quantize_params(params, bits=4, group_size=64)
+    fused = fuse_whisper_qkv(qparams)
+    # fused blocks replace q/k/v with one stacked projection
+    assert "qkv" in fused["decoder"]["blocks"][0]["attn"]
+    assert "q" not in fused["decoder"]["blocks"][0]["attn"]
+    assert "q" in fused["decoder"]["blocks"][0]["cross_attn"]  # cross not fused
+
+    opts = DecodingOptions(sample_len=12)
+    r_q = decode(qparams, mel, tok, config, opts)
+    r_f = decode(fused, mel, tok, config, opts)
+    assert [r.tokens for r in r_q] == [r.tokens for r in r_f]
+    np.testing.assert_allclose(r_q[0].avg_logprob, r_f[0].avg_logprob, atol=1e-5)

@@ -143,8 +143,14 @@ def convert_mlx_whisper_state(
     }
 
 
-def load_mlx_whisper(model_dir: str | Path, dtype=jnp.float32) -> tuple[Params, WhisperConfig]:
-    """Load an mlx-community Whisper model directory."""
+def load_mlx_whisper(model_dir: str | Path, dtype=jnp.float32,
+                     fuse_qkv: bool = True) -> tuple[Params, WhisperConfig]:
+    """Load an mlx-community Whisper model directory.
+
+    ``fuse_qkv`` (quantized checkpoints only) stacks each self-attention
+    block's q/k/v QuantTensors into one fused projection — one dequant
+    matmul per step instead of three (ops/quant.py fuse_whisper_qkv;
+    bit-exact)."""
     from whisper_mlx_tpu.checkpoint.io_util import load_safetensors_dir
 
     model_dir = Path(model_dir)
@@ -153,6 +159,10 @@ def load_mlx_whisper(model_dir: str | Path, dtype=jnp.float32) -> tuple[Params, 
     quant = cfg.get("quantization")
     sd = load_safetensors_dir(model_dir)
     params = convert_mlx_whisper_state(sd, config, quant, dtype)
+    if fuse_qkv and quant:
+        from whisper_mlx_tpu.ops.quant import fuse_whisper_qkv
+
+        params = fuse_whisper_qkv(params)
     return params, config
 
 

@@ -187,6 +187,24 @@ def attention(
     return (out, w) if return_weights else (out, None)
 
 
+def _qkv_proj(h: jnp.ndarray, attn: Params, n_head: int):
+    """Self-attention q/k/v projections → (b, h, t, hd) each.
+
+    Quantized checkpoints may carry a fused stacked projection
+    (ops/quant.py fuse_whisper_qkv): one dequant-matmul replaces three —
+    the decode loop is kernel-launch- and HBM-bound, so this matters."""
+    if "qkv" in attn:
+        d = h.shape[-1]
+        fused = linear(h, attn["qkv"])  # (..., 3d)
+        q, k, v = fused[..., :d], fused[..., d : 2 * d], fused[..., 2 * d :]
+    else:
+        q = linear(h, attn["q"])
+        k = linear(h, attn["k"])
+        v = linear(h, attn["v"])
+    return (_split_heads(q, n_head), _split_heads(k, n_head),
+            _split_heads(v, n_head))
+
+
 def mha(
     x: jnp.ndarray,
     kv_source: jnp.ndarray,
@@ -196,9 +214,12 @@ def mha(
     return_weights: bool = False,
     use_flash: bool = False,
 ):
-    q = _split_heads(linear(x, p["q"]), n_head)
-    k = _split_heads(linear(kv_source, p["k"]), n_head)
-    v = _split_heads(linear(kv_source, p["v"]), n_head)
+    if kv_source is x:
+        q, k, v = _qkv_proj(x, p, n_head)
+    else:
+        q = _split_heads(linear(x, p["q"]), n_head)
+        k = _split_heads(linear(kv_source, p["k"]), n_head)
+        v = _split_heads(linear(kv_source, p["v"]), n_head)
     if use_flash and not return_weights and mask is None:
         from whisper_mlx_tpu.ops.flash_attention import flash_attention
 
@@ -323,9 +344,7 @@ def decode_step(
     cross_weights = []
     for i, blk in enumerate(p["blocks"]):
         h = layer_norm(x, blk["attn_ln"])
-        q = _split_heads(linear(h, blk["attn"]["q"]), config.n_text_head)
-        k_new = _split_heads(linear(h, blk["attn"]["k"]), config.n_text_head)
-        v_new = _split_heads(linear(h, blk["attn"]["v"]), config.n_text_head)
+        q, k_new, v_new = _qkv_proj(h, blk["attn"], config.n_text_head)
         if config.self_kv_bits == 8:
             from whisper_mlx_tpu.ops.kv_quant import attention_int8_kv, quantize_kv
 

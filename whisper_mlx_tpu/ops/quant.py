@@ -210,3 +210,68 @@ def quantize_jax(w: jnp.ndarray, bits: int = 4, group_size: int = 64):
         packed = packed | (q[..., i] << jnp.uint32(i * bits))
     return QuantTensor(packed, scales.astype(jnp.float32),
                        biases.astype(jnp.float32), bits, group_size)
+
+
+def stack_quant(tensors: "list[QuantTensor]") -> QuantTensor:
+    """Concatenate quantized weights along the output dim (MLX dim 0).
+
+    Group quantization is per-output-row, so stacking is exact — the fused
+    tensor dequantizes to the row-concatenation of the inputs. Used to fuse
+    Q/K/V (and gate/up) projections into ONE dequant-matmul per step: the
+    decode loop is launch- and HBM-bound, so 3 kernel calls over the same
+    activations become 1 (VERDICT r1 item 3).
+    """
+    t0 = tensors[0]
+    assert all(t.bits == t0.bits and t.group_size == t0.group_size for t in tensors)
+    assert all(t.shape[1] == t0.shape[1] for t in tensors), [t.shape for t in tensors]
+    return QuantTensor(
+        jnp.concatenate([t.w_q for t in tensors], axis=0),
+        jnp.concatenate([t.scales for t in tensors], axis=0),
+        jnp.concatenate([t.biases for t in tensors], axis=0),
+        t0.bits, t0.group_size,
+    )
+
+
+def fuse_whisper_qkv(params: dict) -> dict:
+    """Add fused ``qkv`` projections to every *self*-attention block whose
+    q/k/v weights are QuantTensors (cross-attention K/V are precomputed per
+    window from the encoder states — models/whisper.py cross_kv — so only
+    self-attention shares activations across the three projections).
+
+    The original q/k/v entries are replaced by the fused one (decode never
+    touches them afterwards; keeping both would double weight HBM).
+    Whisper's k projection has no bias — the fused bias splices zeros there,
+    which is bit-identical.
+    """
+
+    def fuse_attn(attn: dict) -> dict:
+        if not all(isinstance(attn[k]["w"], QuantTensor) for k in ("q", "k", "v")):
+            return attn
+        qw, kw, vw = attn["q"]["w"], attn["k"]["w"], attn["v"]["w"]
+        d = qw.shape[0]
+        zeros = jnp.zeros((d,), jnp.float32)
+        bias = jnp.concatenate([
+            attn["q"].get("b", zeros), zeros, attn["v"].get("b", zeros),
+        ])
+        return {
+            "qkv": {"w": stack_quant([qw, kw, vw]), "b": bias},
+            "o": attn["o"],
+        }
+
+    def walk_blocks(blocks: list, keys: tuple) -> list:
+        out = []
+        for blk in blocks:
+            blk = dict(blk)
+            for key in keys:
+                if key in blk:
+                    blk[key] = fuse_attn(blk[key])
+            out.append(blk)
+        return out
+
+    fused = dict(params)
+    fused["encoder"] = dict(params["encoder"])
+    fused["encoder"]["blocks"] = walk_blocks(params["encoder"]["blocks"], ("attn",))
+    fused["decoder"] = dict(params["decoder"])
+    # decoder: fuse self-attention only; cross_attn q runs alone (k/v cached)
+    fused["decoder"]["blocks"] = walk_blocks(params["decoder"]["blocks"], ("attn",))
+    return fused

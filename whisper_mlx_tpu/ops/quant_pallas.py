@@ -37,8 +37,16 @@ def _round_up(x: int, m: int) -> int:
 
 def _quant_matmul_kernel(x_ref, wq_ref, scales_ref, biases_ref, out_ref,
                          *, bits: int, group_size: int, out_dtype):
-    """One (M, TILE_N) output tile; x is pre-permuted to planar K order."""
-    x = x_ref[:].astype(jnp.float32)  # (M, K) planar
+    """One (M, TILE_N) output tile; x is pre-permuted to planar K order.
+
+    Compute dtype follows the activations: bf16 x → bf16 dequant arithmetic
+    (2× VPU throughput) and a bf16×bf16 MXU dot with fp32 accumulation —
+    the serving path. fp32 x keeps everything fp32 (exactness oracle path;
+    4-bit codes ≤ 15 and fp16-ish scales are exactly representable either
+    way, so bf16 costs only the scale/bias rounding ~0.4%).
+    """
+    compute = jnp.bfloat16 if x_ref.dtype == jnp.bfloat16 else jnp.float32
+    x = x_ref[:]  # (M, K) planar
     wq = wq_ref[:]  # (TILE_N, Kp) uint32, Kp = K/per_word
     scales = scales_ref[:]  # (TILE_N, G)
     biases = biases_ref[:]
@@ -48,23 +56,26 @@ def _quant_matmul_kernel(x_ref, wq_ref, scales_ref, biases_ref, out_ref,
     g = scales.shape[1]
     words_per_group = group_size // per_word
 
-    # expand per-group affines to per-word via a 0/1 matmul (iota-built)
+    # expand per-group affines to per-word via a 0/1 matmul (iota-built),
+    # in fp32 (tiny G×Kp cost), then cast once to the compute dtype
     g_ids = jax.lax.broadcasted_iota(jnp.int32, (g, kp), 0)
     c_ids = jax.lax.broadcasted_iota(jnp.int32, (g, kp), 1)
     expand = (c_ids // words_per_group == g_ids).astype(jnp.float32)  # (G, Kp)
     prec = jax.lax.Precision.HIGHEST
-    scale_w = jax.lax.dot(scales, expand, precision=prec)  # (TILE_N, Kp)
-    bias_w = jax.lax.dot(biases, expand, precision=prec)
+    scale_w = jax.lax.dot(scales.astype(jnp.float32), expand,
+                          precision=prec).astype(compute)  # (TILE_N, Kp)
+    bias_w = jax.lax.dot(biases.astype(jnp.float32), expand,
+                         precision=prec).astype(compute)
 
     planes = []
     for i in range(per_word):
         v = (wq >> jnp.uint32(i * bits)) & mask
-        v = pltpu.bitcast(v, jnp.int32).astype(jnp.float32)  # values < 2^bits
+        v = pltpu.bitcast(v, jnp.int32).astype(compute)  # values < 2^bits
         planes.append(v * scale_w + bias_w)
     w_planar = jnp.concatenate(planes, axis=1)  # (TILE_N, per_word*Kp = K)
 
     out_ref[:] = jax.lax.dot_general(
-        x, w_planar,
+        x.astype(compute), w_planar,
         dimension_numbers=(((1,), (1,)), ((), ())),  # x @ w.T
         preferred_element_type=jnp.float32,
     ).astype(out_dtype)

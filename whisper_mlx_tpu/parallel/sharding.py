@@ -26,7 +26,12 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from whisper_mlx_tpu.models.whisper import Params
 
 
-def _attn_spec(tp: str | None) -> dict[str, Any]:
+def _attn_spec(tp: str | None, blk: dict | None = None) -> dict[str, Any]:
+    if blk is not None and "qkv" in blk:
+        # fused quantized q/k/v (ops/quant.py fuse_whisper_qkv): single-chip
+        # serving artifact — replicate (quantized whisper TP is not a served
+        # config; whisper fits one chip, SURVEY.md §2.4)
+        return {"qkv": {"w": P(), "b": P()}, "o": {"w": P(tp, None), "b": P()}}
     return {
         "q": {"w": P(None, tp), "b": P(tp)},
         "k": {"w": P(None, tp)},
@@ -48,13 +53,14 @@ _LN = {"g": P(), "b": P()}
 def whisper_param_specs(params: Params, tp: str | None = "tp") -> Params:
     """PartitionSpec pytree matching ``params``' structure."""
 
-    def enc_block(_):
-        return {"attn_ln": _LN, "attn": _attn_spec(tp), "mlp_ln": _LN, "mlp": _mlp_spec(tp)}
+    def enc_block(b):
+        return {"attn_ln": _LN, "attn": _attn_spec(tp, b["attn"]),
+                "mlp_ln": _LN, "mlp": _mlp_spec(tp)}
 
-    def dec_block(_):
+    def dec_block(b):
         return {
-            "attn_ln": _LN, "attn": _attn_spec(tp),
-            "cross_attn_ln": _LN, "cross_attn": _attn_spec(tp),
+            "attn_ln": _LN, "attn": _attn_spec(tp, b["attn"]),
+            "cross_attn_ln": _LN, "cross_attn": _attn_spec(tp, b["cross_attn"]),
             "mlp_ln": _LN, "mlp": _mlp_spec(tp),
         }
 
