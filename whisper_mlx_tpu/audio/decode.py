@@ -40,7 +40,10 @@ def _read_wav(path: str | Path) -> tuple[np.ndarray, int]:
         (size,) = struct.unpack_from("<I", raw, pos + 4)
         body = raw[pos + 8 : pos + 8 + size]
         if chunk_id == b"fmt ":
-            fmt = struct.unpack_from("<HHIIHH", body, 0)
+            try:
+                fmt = struct.unpack_from("<HHIIHH", body, 0)
+            except struct.error as e:  # truncated fmt chunk
+                raise ValueError(f"{path}: corrupt WAV fmt chunk ({e})") from e
         elif chunk_id == b"data":
             data = body
         pos += 8 + size + (size & 1)  # chunks are word-aligned

@@ -283,7 +283,26 @@ def cross_kv(params: Params, audio_states: jnp.ndarray, config: WhisperConfig) -
 
             k8, ks = quantize_kv(k * scale)
             v8, vs = quantize_kv(v)
-            out.append({"k8": k8, "ks": ks, "v8": v8, "vs": vs})
+            # K AND V cached transposed (time-minor); when the opt-in Pallas
+            # decode kernel is active, T is additionally padded to the lane
+            # tile ONCE here so it streams contiguous lane-aligned blocks
+            # with zero per-step padding copies (ops/decode_attention.py) —
+            # the tail is masked via valid_len. The default XLA einsum path
+            # needs no padding, and padding would cost it extra traffic.
+            import os
+
+            t = k8.shape[2]
+            use_kernel = os.environ.get("WTPU_DECODE_ATTN_KERNEL") == "1"
+            t_pad = (-t % 128) if use_kernel else 0
+            k8t = jnp.swapaxes(k8, 2, 3)
+            v8t = jnp.swapaxes(v8, 2, 3)
+            if t_pad:
+                tpad4 = ((0, 0), (0, 0), (0, 0), (0, t_pad))
+                k8t = jnp.pad(k8t, tpad4)
+                v8t = jnp.pad(v8t, tpad4)
+                ks = jnp.pad(ks, ((0, 0), (0, 0), (0, t_pad), (0, 0)))
+                vs = jnp.pad(vs, ((0, 0), (0, 0), (0, t_pad), (0, 0)))
+            out.append({"k8t": k8t, "ks": ks, "v8t": v8t, "vs": vs})
         else:
             out.append({"k": k, "v": v})
     return out
@@ -299,10 +318,22 @@ def init_kv_cache(config: WhisperConfig, batch: int, dtype=None) -> list[Params]
     hd = config.n_text_state // config.n_text_head
     shape = (batch, config.n_text_head, config.n_text_ctx, hd)
     if config.self_kv_bits == 8:
-        sshape = (batch, config.n_text_head, config.n_text_ctx, 1)
+        # K/V transposed (time-minor); T padded to the lane tile only when
+        # the opt-in Pallas decode kernel is active (ops/decode_attention.py)
+        # — causality masks the padded tail (positions ≥ n_text_ctx are
+        # never written or attended). The default XLA path reads the cache
+        # unpadded.
+        import os
+
+        if os.environ.get("WTPU_DECODE_ATTN_KERNEL") == "1":
+            t_alloc = -(-config.n_text_ctx // 128) * 128
+        else:
+            t_alloc = config.n_text_ctx
+        kt_shape = (batch, config.n_text_head, hd, t_alloc)
+        sshape = (batch, config.n_text_head, t_alloc, 1)
         return [
-            {"k8": jnp.zeros(shape, jnp.int8), "ks": jnp.zeros(sshape, jnp.float32),
-             "v8": jnp.zeros(shape, jnp.int8), "vs": jnp.zeros(sshape, jnp.float32)}
+            {"k8t": jnp.zeros(kt_shape, jnp.int8), "ks": jnp.zeros(sshape, jnp.float32),
+             "v8t": jnp.zeros(kt_shape, jnp.int8), "vs": jnp.zeros(sshape, jnp.float32)}
             for _ in range(config.n_text_layer)
         ]
     return [
@@ -346,19 +377,24 @@ def decode_step(
         h = layer_norm(x, blk["attn_ln"])
         q, k_new, v_new = _qkv_proj(h, blk["attn"], config.n_text_head)
         if config.self_kv_bits == 8:
-            from whisper_mlx_tpu.ops.kv_quant import attention_int8_kv, quantize_kv
+            from whisper_mlx_tpu.ops.kv_quant import attention_int8_auto, quantize_kv
 
             scale = q.shape[-1] ** -0.25
             k8n, ksn = quantize_kv(k_new * scale)
             v8n, vsn = quantize_kv(v_new)
             upd = lambda buf, new: jax.lax.dynamic_update_slice_in_dim(buf, new, pos, axis=2)
+            updt = lambda buf, new: jax.lax.dynamic_update_slice_in_dim(
+                buf, jnp.swapaxes(new, 2, 3), pos, axis=3)
             entry = {
-                "k8": upd(kv_cache[i]["k8"], k8n), "ks": upd(kv_cache[i]["ks"], ksn),
-                "v8": upd(kv_cache[i]["v8"], v8n), "vs": upd(kv_cache[i]["vs"], vsn),
+                "k8t": updt(kv_cache[i]["k8t"], k8n),
+                "ks": upd(kv_cache[i]["ks"], ksn),
+                "v8t": updt(kv_cache[i]["v8t"], v8n),
+                "vs": upd(kv_cache[i]["vs"], vsn),
             }
             new_cache.append(entry)
-            attn_out = attention_int8_kv(
-                q * scale, entry["k8"], entry["ks"], entry["v8"], entry["vs"], mask
+            attn_out = attention_int8_auto(
+                q * scale, entry["k8t"], entry["ks"], entry["v8t"], entry["vs"],
+                pos=pos, causal=True,
             )
         else:
             k = jax.lax.dynamic_update_slice_in_dim(kv_cache[i]["k"], k_new, pos, axis=2)
@@ -369,13 +405,14 @@ def decode_step(
 
         h = layer_norm(x, blk["cross_attn_ln"])
         qx = _split_heads(linear(h, blk["cross_attn"]["q"]), config.n_text_head)
-        if "k8" in xkv[i]:  # int8 KV path (never collects weights — DTW
+        if "k8t" in xkv[i]:  # int8 KV path (never collects weights — DTW
             # alignment uses a full-precision pass)
-            from whisper_mlx_tpu.ops.kv_quant import attention_int8_kv
+            from whisper_mlx_tpu.ops.kv_quant import attention_int8_auto
 
             scale = qx.shape[-1] ** -0.25
-            cross_out = attention_int8_kv(
-                qx * scale, xkv[i]["k8"], xkv[i]["ks"], xkv[i]["v8"], xkv[i]["vs"]
+            cross_out = attention_int8_auto(
+                qx * scale, xkv[i]["k8t"], xkv[i]["ks"], xkv[i]["v8t"],
+                xkv[i]["vs"], valid_len=config.n_audio_ctx,
             )
             cw = None
         else:

@@ -34,6 +34,60 @@ def quantize_kv(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     return q, scale
 
 
+def attention_int8_auto(
+    q: jnp.ndarray,        # (b, h, tq, d)
+    k8t: jnp.ndarray,      # (b, h, d, tk) int8 — keys cached TRANSPOSED
+    k_scale: jnp.ndarray,  # (b, h, tk, 1)
+    v8t: jnp.ndarray,      # (b, h, d, tk) int8 — values cached TRANSPOSED
+    v_scale: jnp.ndarray,  # (b, h, tk, 1)
+    pos: jnp.ndarray | int = 0,
+    causal: bool = False,
+    valid_len: int | None = None,
+) -> jnp.ndarray:
+    """Decode attention over int8 KV: fused Pallas kernel on TPU, XLA
+    einsum fallback elsewhere (tests run the CPU mesh; kernel parity is
+    covered by interpret-mode tests in tests/test_pallas_kernels.py).
+
+    K AND V arrive transposed (time-minor) — the layout the Pallas kernel
+    streams at full lane width (ops/decode_attention.py). causal=True masks
+    keys after ``pos + q_index`` (self-attention over a preallocated
+    cache); causal=False attends keys [0, valid_len) (cross-attention over
+    a 128-padded cache).
+
+    The Pallas kernel is opt-in (WTPU_DECODE_ATTN_KERNEL=1): in isolation it
+    matches the XLA einsum (~300 GB/s effective on v5e), but end-to-end it
+    measured 9% SLOWER — inside the jitted step XLA overlaps the attention
+    einsum with prefetching the next layer's weights, which an opaque
+    pallas_call blocks (bench_history.jsonl r2; scripts/
+    bench_decode_attention.py).
+    """
+    import os
+
+    if (jax.default_backend() == "tpu"
+            and os.environ.get("WTPU_DECODE_ATTN_KERNEL") == "1"):
+        from whisper_mlx_tpu.ops.decode_attention import decode_attention_int8
+
+        return decode_attention_int8(q, k8t, k_scale, v8t, v_scale,
+                                     pos=pos, causal=causal,
+                                     valid_len=valid_len)
+    tq, tk = q.shape[2], k8t.shape[3]
+    k_idx = jnp.arange(tk)[None, :]
+    if causal:
+        q_idx = jnp.arange(tq)[:, None] + pos
+        mask = jnp.where(k_idx <= q_idx, 0.0, -jnp.inf)
+    else:
+        valid = k_idx < (tk if valid_len is None else valid_len)
+        mask = jnp.where(jnp.broadcast_to(valid, (tq, tk)), 0.0, -jnp.inf)
+    scores = jnp.einsum(
+        "bhqd,bhdk->bhqk", q.astype(jnp.float32), k8t.astype(jnp.float32)
+    )
+    scores = scores * k_scale[..., 0][:, :, None, :] + mask
+    w = jax.nn.softmax(scores, axis=-1)
+    w = w * v_scale[..., 0][:, :, None, :]
+    out = jnp.einsum("bhqk,bhdk->bhqd", w, v8t.astype(jnp.float32))
+    return out.astype(q.dtype)
+
+
 def attention_int8_kv(
     q: jnp.ndarray,  # (b, h, tq, d) fp — pre-scaled by head_dim**-0.25
     k8: jnp.ndarray,  # (b, h, tk, d) int8 — quantized pre-scaled keys
