@@ -185,13 +185,16 @@ def main() -> None:
     from whisper_mlx_tpu.models.whisper import WHISPER_CONFIGS
 
     model_name = os.environ.get("BENCH_MODEL", "large-v3")
-    batch = int(os.environ.get("BENCH_BATCH", "24"))
+    # defaults = the measured-best serving config (bench_history.jsonl):
+    # B=48 + int8 cross+self KV + flash encoder = 212 RTF/chip on v5e
+    # (B=64 exhausts the 16 GB HBM)
+    batch = int(os.environ.get("BENCH_BATCH", "48"))
     sample_len = int(os.environ.get("BENCH_SAMPLE_LEN", "224"))
     reps = int(os.environ.get("BENCH_REPS", "3"))
     use_flash = os.environ.get("BENCH_FLASH", "1") == "1"
     quant_bits = int(os.environ.get("BENCH_QUANT", "0"))  # 0=off, 4, 8
     kv_bits = int(os.environ.get("BENCH_KV", "8"))  # 0=bf16, 8=int8 cross-KV
-    self_kv = int(os.environ.get("BENCH_SELF_KV", "0"))  # int8 self-KV
+    self_kv = int(os.environ.get("BENCH_SELF_KV", "8"))  # int8 self-KV
 
     config = dataclasses.replace(
         WHISPER_CONFIGS[model_name], dtype=jnp.bfloat16,

@@ -37,11 +37,12 @@ def timed_loop(fn, q0, n=ITERS):
         q, _ = jax.lax.scan(body, q, None, length=n)
         return q
 
-    loop(q0).block_until_ready()
+    # np.asarray fetch = the only true sync on the axon relay backend
+    np.asarray(loop(q0)[:1, :1, :1, :1])
     best = np.inf
     for _ in range(3):
         t0 = time.perf_counter()
-        loop(q0).block_until_ready()
+        np.asarray(loop(q0)[:1, :1, :1, :1])
         best = min(best, time.perf_counter() - t0)
     return best / n * 1e6
 

@@ -485,6 +485,117 @@ def quant_matmul_e6(x, q: QuantTensor, tile_n: int = 256):
     return out[:M, :N].reshape(*lead, N)
 
 
+@functools.lru_cache(maxsize=32)
+def _planar_perm_pair(k: int, per_word: int):
+    """perm for the e7 pair-plane order: block i holds word-pairs
+    (plane i, plane i+per_word/2) interleaved by the 32→16 bitcast:
+    position p = i·2Kp + 2c + r ↔ original column c·per_word + i + r·per_word/2."""
+    kp = k // per_word
+    half = per_word // 2
+    p = np.arange(k)
+    i = p // (2 * kp)
+    w = p % (2 * kp)
+    c = w // 2
+    r = w % 2
+    return np.asarray(c * per_word + i + r * half, np.int32)
+
+
+def _e7_kernel(x_ref, xg_ref, wqt_ref, scales_ref, biases_ref, out_ref,
+               *, bits: int, group_size: int, out_dtype):
+    """E7 (PARKED — numerically unsound in bf16): transposed packed weights
+    + bf16 bit-trick dequant. The 128-offset amplifies bf16 product
+    rounding 8x (products ~128*s instead of ~8*s) and the error does not
+    cancel against the bias-fold correction — measured ~11% rel err at
+    model shapes (fine in the f32 interpret path). Perf was also within
+    noise of E6: all variants sit on the ~330 GB/s single-stream DMA wall
+    for the packed-weight fetch. Kept for reference.
+
+    wqt (Kp, TILE_N) u32. Each pair of 4-bit fields (plane i, i+4) is
+    masked into the low 4 bits of both 16-bit halves and OR'd with the
+    bf16 exponent pattern 0x4300 → bitcast yields EXACT bf16 values
+    128+v; the −128·scale is folded into the bias term (xg fold).
+    Per element: ~1.5 u32 ops + 1 bf16 mul — no int→float converts.
+    """
+    compute = jnp.bfloat16 if x_ref.dtype == jnp.bfloat16 else jnp.float32
+    x = x_ref[:]
+    xg = xg_ref[:].astype(compute)
+    wqt = wqt_ref[:]  # (Kp, TILE_N) u32
+    kp, tile_n = wqt.shape
+    g = scales_ref.shape[1]
+    per_word = 32 // bits
+    words_per_group = group_size // per_word
+    scales = scales_ref[:].astype(compute)
+    biases = biases_ref[:].astype(compute)
+
+    p_ids = jax.lax.broadcasted_iota(jnp.int32, (2 * kp, g), 0)
+    g_ids = jax.lax.broadcasted_iota(jnp.int32, (2 * kp, g), 1)
+    expand = (p_ids // (2 * words_per_group) == g_ids).astype(compute)
+    scale_slab = jax.lax.dot_general(  # (2Kp, TILE_N)
+        expand, scales, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(compute)
+
+    mask32 = jnp.uint32(((1 << bits) - 1) | (((1 << bits) - 1) << 16))
+    magic = jnp.uint32(0x43004300)
+    bias2 = biases - jnp.asarray(128.0, compute) * scales  # (TILE_N, G)
+    acc = jax.lax.dot_general(
+        xg, bias2, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    for i in range(per_word // 2):
+        t = ((wqt >> jnp.uint32(bits * i)) & mask32) | magic
+        pair = pltpu.bitcast(t, jnp.bfloat16)  # (2Kp, TILE_N): 128+v exact
+        w_slab = pair.astype(compute) * scale_slab
+        acc = acc + jax.lax.dot_general(
+            x[:, i * 2 * kp:(i + 1) * 2 * kp].astype(compute), w_slab,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    out_ref[:] = acc.astype(out_dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("bits", "group_size", "tile_n"))
+def quant_matmul_e7(x, wqt, scales, biases, bits, group_size, tile_n: int = 256):
+    *lead, K = x.shape
+    x2 = x.reshape(-1, K)
+    M = x2.shape[0]
+    N = scales.shape[0]
+    per_word = 32 // bits
+    G = K // group_size
+    TILE_N = tile_n
+    Mp = _round_up(max(M, 8), 8)
+    Np = _round_up(N, TILE_N)
+    xg = x2.astype(jnp.float32).reshape(M, G, group_size).sum(-1)
+    x_planar = x2[:, jnp.asarray(_planar_perm_pair(K, per_word))]
+    x_pad = jnp.zeros((Mp, K), x2.dtype).at[:M].set(x_planar)
+    xg_pad = jnp.zeros((Mp, G), x2.dtype).at[:M].set(xg.astype(x2.dtype))
+    if Np != N:
+        wqt = jnp.zeros((wqt.shape[0], Np), wqt.dtype).at[:, :N].set(wqt)
+        scales = jnp.zeros((Np, G), scales.dtype).at[:N].set(scales)
+        biases = jnp.zeros((Np, G), biases.dtype).at[:N].set(biases)
+    kp = K // per_word
+    out = pl.pallas_call(
+        functools.partial(_e7_kernel, bits=bits, group_size=group_size,
+                          out_dtype=x.dtype),
+        grid=(Np // TILE_N,),
+        in_specs=[
+            pl.BlockSpec((Mp, K), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Mp, G), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((kp, TILE_N), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_N, G), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_N, G), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((Mp, TILE_N), lambda i: (0, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Mp, Np), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Mp * Np * K,
+            bytes_accessed=Mp * K * 4 + Np * K * bits // 8 + Np * G * 8 + Mp * Np * 4,
+            transcendentals=0,
+        ),
+    )(x_pad, xg_pad, wqt, scales, biases)
+    return out[:M, :N].reshape(*lead, N)
+
+
 def timed_loop(fn, x0, n=ITERS):
     """Scan fn ITERS times with a feedback dependency; returns µs/call.
 
@@ -513,11 +624,13 @@ def timed_loop(fn, x0, n=ITERS):
     base = make_loop(lambda x: (x + x[..., :1] * 1e-6).astype(x.dtype))
 
     def best_of(l):
-        l(x0).block_until_ready()  # compile + warm
+        # np.asarray fetch = the only true sync on the axon relay backend
+        # (block_until_ready acks at dispatch, not completion)
+        np.asarray(l(x0)[:1, :1])  # compile + warm
         b = np.inf
         for _ in range(3):
             t0 = time.perf_counter()
-            l(x0).block_until_ready()
+            np.asarray(l(x0)[:1, :1])
             b = min(b, time.perf_counter() - t0)
         return b
 
@@ -548,11 +661,14 @@ def main():
         # correctness: every variant vs the current kernel's output
         x_chk = jnp.asarray(rng.standard_normal((BATCH, K)), jnp.bfloat16)
         ref = np.asarray(quant_matmul_pallas(x_chk, q), np.float32)
+        wqt = jnp.asarray(np.ascontiguousarray(np.asarray(q.w_q).T))
         variants = {
-            "e3-biasfold": lambda x: quant_matmul_e3(x, q, sw, 256),
             "e6-t256": lambda x: quant_matmul_e6(x, q, 256),
             "e6-t512": lambda x: quant_matmul_e6(x, q, 512),
-            "e6-t128": lambda x: quant_matmul_e6(x, q, 128),
+            "e7-t256": lambda x: quant_matmul_e7(
+                x, wqt, q.scales, q.biases, BITS, GROUP, 256),
+            "e7-t512": lambda x: quant_matmul_e7(
+                x, wqt, q.scales, q.biases, BITS, GROUP, 512),
         }
         for name, fn in variants.items():
             got = np.asarray(fn(x_chk), np.float32)

@@ -1,0 +1,191 @@
+"""Qwen decode throughput on the local accelerator (tokens/sec/chip).
+
+Measures the jitted incremental decode loop (scan of single-token
+decode_step calls over a resident KV cache) plus prefill throughput for a
+random-weight model — RTF-style timing only depends on shapes, matching
+bench.py's approach. Knobs: QB_MODEL (qwen2.5-7b | qwen2.5-14b | ... from
+models/qwen.py QWEN_CONFIGS), QB_BATCH, QB_QUANT (0|4|8), QB_STEPS,
+QB_PROMPT, QB_MAXLEN.
+
+Reference workload: the daemon serves mlx-community 4-bit Qwen checkpoints
+(SURVEY.md §2.1/§2.2, reference daemon/chat.py:142-147).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/wtpu_xla_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+
+    from whisper_mlx_tpu.models import qwen
+
+    model = os.environ.get("QB_MODEL", "qwen2.5-7b")
+    batch = int(os.environ.get("QB_BATCH", "1"))
+    quant = int(os.environ.get("QB_QUANT", "4"))
+    steps = int(os.environ.get("QB_STEPS", "128"))
+    prompt = int(os.environ.get("QB_PROMPT", "128"))
+    max_len = int(os.environ.get("QB_MAXLEN", "1024"))
+    reps = int(os.environ.get("QB_REPS", "3"))
+
+    config = dataclasses.replace(
+        qwen.QWEN_CONFIGS[model], dtype=jnp.bfloat16,
+        flash_attention=os.environ.get("QB_FLASH", "1") == "1",
+    )
+
+    def zeros_params():
+        D, I = config.hidden_size, config.intermediate_size
+        H, KV, hd = (config.num_attention_heads, config.num_key_value_heads,
+                     config.hd)
+
+        def dense(n_in, n_out, bias=False):
+            p = {"w": jnp.zeros((n_in, n_out), jnp.bfloat16)}
+            if bias:
+                p["b"] = jnp.zeros((n_out,), jnp.bfloat16)
+            return p
+
+        ab = config.attention_bias
+        layers = []
+        for _ in range(config.num_hidden_layers):
+            blk = {
+                "input_ln": jnp.ones(D, jnp.bfloat16),
+                "attn": {
+                    "q": dense(D, H * hd, ab), "k": dense(D, KV * hd, ab),
+                    "v": dense(D, KV * hd, ab), "o": dense(H * hd, D),
+                },
+                "post_ln": jnp.ones(D, jnp.bfloat16),
+                "mlp": {"gate": dense(D, I), "up": dense(D, I),
+                        "down": dense(I, D)},
+            }
+            if config.qk_norm:
+                blk["attn"]["q_norm"] = jnp.ones(hd, jnp.bfloat16)
+                blk["attn"]["k_norm"] = jnp.ones(hd, jnp.bfloat16)
+            layers.append(blk)
+        p = {
+            "embed": jnp.zeros((config.vocab_size, D), jnp.bfloat16),
+            "layers": layers,
+            "final_ln": jnp.ones(D, jnp.bfloat16),
+        }
+        if not config.tie_word_embeddings:
+            p["lm_head"] = dense(D, config.vocab_size)
+        return p
+
+    def quantize_zeros(params, bits):
+        from whisper_mlx_tpu.ops.quant import QuantTensor
+
+        per_word = 32 // bits
+        group = 64
+
+        def q_of(n_in, n_out):
+            return QuantTensor(
+                jnp.zeros((n_out, n_in // per_word), jnp.uint32),
+                jnp.ones((n_out, n_in // group), jnp.float32),
+                jnp.zeros((n_out, n_in // group), jnp.float32),
+                bits, group,
+            )
+
+        def walk(node):
+            if isinstance(node, dict):
+                if "w" in node and getattr(node["w"], "ndim", 0) == 2:
+                    n_in, n_out = node["w"].shape
+                    if n_in % group == 0:
+                        new = {"w": q_of(n_in, n_out)}
+                        if "b" in node:
+                            new["b"] = node["b"]
+                        return new
+                    return node
+                return {k: walk(v) for k, v in node.items()}
+            if isinstance(node, list):
+                return [walk(v) for v in node]
+            return node
+
+        out = walk({k: v for k, v in params.items() if k != "embed"})
+        v_dim, d = params["embed"].shape
+        out["embed"] = q_of(d, v_dim) if d % group == 0 else params["embed"]
+        return out
+
+    params = zeros_params()
+    if quant:
+        params = quantize_zeros(params, quant)
+
+    cache = qwen.init_kv_cache(config, batch, max_len)
+    toks = jnp.zeros((batch, prompt), jnp.int32)
+
+    @jax.jit
+    def prefill(params, toks, cache):
+        logits, cache = qwen.decode_step(params, toks, jnp.int32(0), cache, config)
+        return logits, cache
+
+    @jax.jit
+    def decode_loop(params, cache, first):
+        def body(carry, _):
+            tok, pos, cache = carry
+            logits, cache = qwen.decode_step(params, tok, pos, cache, config)
+            nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)[:, None]
+            return (nxt, pos + 1, cache), ()
+        (tok, _, cache), _ = jax.lax.scan(
+            body, (first, jnp.int32(prompt), cache), None, length=steps)
+        return tok, cache
+
+    # NOTE: on the axon relay backend block_until_ready returns at
+    # dispatch-ack, NOT completion — a device->host fetch (np.asarray) is
+    # the only true sync (measured: fetch-synced 7B decode is 22 ms/step
+    # where block-synced read 0.02 ms/step). Every timing below fetches.
+    t0 = time.perf_counter()
+    logits, cache1 = prefill(params, toks, cache)
+    first = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)[:, None]
+    np.asarray(decode_loop(params, cache1, first)[0])
+    compile_s = time.perf_counter() - t0
+
+    best_p, best_d = np.inf, np.inf
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        lg, c1 = prefill(params, toks, cache)
+        np.asarray(lg[:, -1, :8])  # fetch forces the full prefill
+        best_p = min(best_p, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        np.asarray(decode_loop(params, c1, first)[0])
+        best_d = min(best_d, time.perf_counter() - t0)
+
+    tok_s = batch * steps / best_d
+    prefill_tok_s = batch * prompt / best_p
+    line = {
+        "metric": f"qwen_decode_tok_s_{model}",
+        "value": round(tok_s, 1),
+        "unit": "tok/s/chip",
+        "batch": batch, "quant": quant,
+        "prefill_tok_s": round(prefill_tok_s, 1),
+    }
+    print(json.dumps(line))
+    print(f"# model={model} batch={batch} quant={quant} steps={steps} "
+          f"prompt={prompt} decode_best={best_d:.3f}s prefill_best={best_p:.3f}s "
+          f"compile={compile_s:.1f}s backend={jax.default_backend()}",
+          file=sys.stderr)
+    try:
+        with open(os.path.join(os.path.dirname(__file__), "..",
+                               "bench_history.jsonl"), "a") as f:
+            f.write(json.dumps(line) + "\n")
+    except OSError:
+        pass
+
+
+if __name__ == "__main__":
+    main()

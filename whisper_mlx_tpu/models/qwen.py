@@ -121,10 +121,17 @@ def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarra
 
 
 def init_kv_cache(config: QwenConfig, batch: int, max_len: int, dtype=None):
+    """K/V cached TRANSPOSED (time-minor, (b, kv, hd, max_len)).
+
+    The decode-step attention einsums then contract over the minor lane
+    axis — measured +16–23% end-to-end RTF on the whisper decoder with the
+    same change (bench_history.jsonl r2); the LLM decode loop has the same
+    per-step cache-streaming shape.
+    """
     dtype = dtype or config.dtype
-    shape = (batch, config.num_key_value_heads, max_len, config.hd)
+    shape = (batch, config.num_key_value_heads, config.hd, max_len)
     return [
-        {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+        {"kt": jnp.zeros(shape, dtype), "vt": jnp.zeros(shape, dtype)}
         for _ in range(config.num_hidden_layers)
     ]
 
@@ -144,7 +151,7 @@ def decode_step(
     per-row causal mask, and a vmapped per-row cache scatter.
     """
     b, t = tokens.shape
-    max_len = kv_cache[0]["k"].shape[2]
+    max_len = kv_cache[0]["kt"].shape[3]
     per_row = getattr(pos, "ndim", 0) == 1
     H, KV, hd = config.num_attention_heads, config.num_key_value_heads, config.hd
     x = params["embed"].astype(config.dtype)[tokens] if type(params["embed"]).__name__ != "QuantTensor" else None
@@ -179,40 +186,49 @@ def decode_step(
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
 
+        kT = jnp.swapaxes(k, 2, 3).astype(kv_cache[i]["kt"].dtype)  # (b,KV,hd,t)
+        vT = jnp.swapaxes(v, 2, 3).astype(kv_cache[i]["vt"].dtype)
         if per_row:
             scatter = jax.vmap(
-                lambda c, u, p: jax.lax.dynamic_update_slice_in_dim(c, u, p, axis=1)
+                lambda c, u, p: jax.lax.dynamic_update_slice_in_dim(c, u, p, axis=2)
             )
-            k_full = scatter(kv_cache[i]["k"], k.astype(kv_cache[i]["k"].dtype), pos)
-            v_full = scatter(kv_cache[i]["v"], v.astype(kv_cache[i]["v"].dtype), pos)
+            kt_full = scatter(kv_cache[i]["kt"], kT, pos)
+            vt_full = scatter(kv_cache[i]["vt"], vT, pos)
         else:
-            k_full = jax.lax.dynamic_update_slice_in_dim(kv_cache[i]["k"], k.astype(kv_cache[i]["k"].dtype), pos, axis=2)
-            v_full = jax.lax.dynamic_update_slice_in_dim(kv_cache[i]["v"], v.astype(kv_cache[i]["v"].dtype), pos, axis=2)
-        new_cache.append({"k": k_full, "v": v_full})
+            kt_full = jax.lax.dynamic_update_slice_in_dim(kv_cache[i]["kt"], kT, pos, axis=3)
+            vt_full = jax.lax.dynamic_update_slice_in_dim(kv_cache[i]["vt"], vT, pos, axis=3)
+        new_cache.append({"kt": kt_full, "vt": vt_full})
 
-        # GQA: repeat kv heads to full heads
         rep = H // KV
-        k_r = jnp.repeat(k_full, rep, axis=1)
-        v_r = jnp.repeat(v_full, rep, axis=1)
         scale = 1.0 / math.sqrt(hd)
         if config.flash_attention and t > 1 and not per_row:
             # prefill via the Pallas flash kernel (causal); the convention
-            # there is q/k each pre-scaled by hd**-0.25
+            # there is q/k each pre-scaled by hd**-0.25. Repeat GQA heads
+            # for the kernel — prefill-only, so the materialization is a
+            # one-time cost per request, not per decode step.
             from whisper_mlx_tpu.ops.flash_attention import flash_attention
 
             s4 = hd ** -0.25
             attn = flash_attention(
                 (q * s4).astype(config.dtype),
-                (k_r[:, :, :t] * s4).astype(config.dtype),
-                v_r[:, :, :t].astype(config.dtype),
+                (jnp.repeat(k, rep, axis=1) * s4).astype(config.dtype),
+                jnp.repeat(v, rep, axis=1).astype(config.dtype),
                 causal=True,
             ).astype(jnp.float32)
+            attn = attn.transpose(0, 2, 1, 3).reshape(b, t, H * hd)
         else:
-            scores = jnp.einsum("bhqd,bhkd->bhqk", q, k_r) * scale
-            scores = scores.astype(jnp.promote_types(scores.dtype, jnp.float32)) + mask
-            w = jax.nn.softmax(scores, axis=-1).astype(v_r.dtype)
-            attn = jnp.einsum("bhqk,bhkd->bhqd", w, v_r)
-        attn = attn.transpose(0, 2, 1, 3).reshape(b, t, H * hd)
+            # grouped-GQA attention over the transposed cache: no
+            # jnp.repeat — repeating KV to full heads would stream rep×
+            # (8× on Qwen3-32B) the cache bytes per step if XLA failed to
+            # fuse it. The einsum shares each KV head across its rep query
+            # heads directly, contracting over the minor (lane) axis.
+            q5 = q.reshape(b, KV, rep, t, hd)
+            scores = jnp.einsum("bgrqd,bgdk->bgrqk", q5, kt_full) * scale
+            scores = scores.astype(jnp.promote_types(scores.dtype, jnp.float32))
+            scores = scores + (mask[:, None] if per_row else mask)
+            w = jax.nn.softmax(scores, axis=-1).astype(vt_full.dtype)
+            attn = jnp.einsum("bgrqk,bgdk->bgrqd", w, vt_full)
+            attn = attn.reshape(b, H, t, hd).transpose(0, 2, 1, 3).reshape(b, t, H * hd)
         x = x + _linear(attn, blk["attn"]["o"])
 
         h = rms_norm(x, blk["post_ln"], config.rms_norm_eps)
