@@ -57,7 +57,20 @@ def main():
                      config.hd)
 
         def dense(n_in, n_out, bias=False):
-            p = {"w": jnp.zeros((n_in, n_out), jnp.bfloat16)}
+            # build quantized weights DIRECTLY when quant is on — a full
+            # bf16 zeros tree for 7B+ is 15 GB and OOMs the chip before
+            # the quantize walk replaces it
+            if quant and n_in % 64 == 0:
+                from whisper_mlx_tpu.ops.quant import QuantTensor
+
+                per_word = 32 // quant
+                p = {"w": QuantTensor(
+                    jnp.zeros((n_out, n_in // per_word), jnp.uint32),
+                    jnp.ones((n_out, n_in // 64), jnp.float32),
+                    jnp.zeros((n_out, n_in // 64), jnp.float32),
+                    quant, 64)}
+            else:
+                p = {"w": jnp.zeros((n_in, n_out), jnp.bfloat16)}
             if bias:
                 p["b"] = jnp.zeros((n_out,), jnp.bfloat16)
             return p
@@ -79,8 +92,19 @@ def main():
                 blk["attn"]["q_norm"] = jnp.ones(hd, jnp.bfloat16)
                 blk["attn"]["k_norm"] = jnp.ones(hd, jnp.bfloat16)
             layers.append(blk)
+        if quant and D % 64 == 0:
+            from whisper_mlx_tpu.ops.quant import QuantTensor
+
+            per_word = 32 // quant
+            embed = QuantTensor(
+                jnp.zeros((config.vocab_size, D // per_word), jnp.uint32),
+                jnp.ones((config.vocab_size, D // 64), jnp.float32),
+                jnp.zeros((config.vocab_size, D // 64), jnp.float32),
+                quant, 64)
+        else:
+            embed = jnp.zeros((config.vocab_size, D), jnp.bfloat16)
         p = {
-            "embed": jnp.zeros((config.vocab_size, D), jnp.bfloat16),
+            "embed": embed,
             "layers": layers,
             "final_ln": jnp.ones(D, jnp.bfloat16),
         }
@@ -88,43 +112,11 @@ def main():
             p["lm_head"] = dense(D, config.vocab_size)
         return p
 
-    def quantize_zeros(params, bits):
-        from whisper_mlx_tpu.ops.quant import QuantTensor
-
-        per_word = 32 // bits
-        group = 64
-
-        def q_of(n_in, n_out):
-            return QuantTensor(
-                jnp.zeros((n_out, n_in // per_word), jnp.uint32),
-                jnp.ones((n_out, n_in // group), jnp.float32),
-                jnp.zeros((n_out, n_in // group), jnp.float32),
-                bits, group,
-            )
-
-        def walk(node):
-            if isinstance(node, dict):
-                if "w" in node and getattr(node["w"], "ndim", 0) == 2:
-                    n_in, n_out = node["w"].shape
-                    if n_in % group == 0:
-                        new = {"w": q_of(n_in, n_out)}
-                        if "b" in node:
-                            new["b"] = node["b"]
-                        return new
-                    return node
-                return {k: walk(v) for k, v in node.items()}
-            if isinstance(node, list):
-                return [walk(v) for v in node]
-            return node
-
-        out = walk({k: v for k, v in params.items() if k != "embed"})
-        v_dim, d = params["embed"].shape
-        out["embed"] = q_of(d, v_dim) if d % group == 0 else params["embed"]
-        return out
-
     params = zeros_params()
-    if quant:
-        params = quantize_zeros(params, quant)
+    if quant and os.environ.get("QB_FUSE", "1") == "1":
+        from whisper_mlx_tpu.ops.quant import fuse_qwen_projections
+
+        params = fuse_qwen_projections(params)
 
     cache = qwen.init_kv_cache(config, batch, max_len)
     toks = jnp.zeros((batch, prompt), jnp.int32)

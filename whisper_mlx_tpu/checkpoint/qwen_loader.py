@@ -130,7 +130,8 @@ def convert_hf_qwen_state(
     return params
 
 
-def load_qwen(model_dir: str | Path, dtype=jnp.float32) -> tuple[Params, QwenConfig]:
+def load_qwen(model_dir: str | Path, dtype=jnp.float32,
+              fuse_projections: bool = True) -> tuple[Params, QwenConfig]:
     from whisper_mlx_tpu.checkpoint.io_util import load_safetensors_dir
 
     model_dir = Path(model_dir)
@@ -139,4 +140,8 @@ def load_qwen(model_dir: str | Path, dtype=jnp.float32) -> tuple[Params, QwenCon
     quant = cfg.get("quantization")
     state = load_safetensors_dir(model_dir)
     params = convert_hf_qwen_state(state, config, quant, dtype)
+    if fuse_projections and quant is not None:
+        from whisper_mlx_tpu.ops.quant import fuse_qwen_projections
+
+        params = fuse_qwen_projections(params)
     return params, config

@@ -177,9 +177,20 @@ def decode_step(
     new_cache = []
     for i, blk in enumerate(params["layers"]):
         h = rms_norm(x, blk["input_ln"], config.rms_norm_eps)
-        q = _linear(h, blk["attn"]["q"]).reshape(b, t, H, hd).transpose(0, 2, 1, 3)
-        k = _linear(h, blk["attn"]["k"]).reshape(b, t, KV, hd).transpose(0, 2, 1, 3)
-        v = _linear(h, blk["attn"]["v"]).reshape(b, t, KV, hd).transpose(0, 2, 1, 3)
+        if "qkv" in blk["attn"]:  # fused quantized projection
+            # (ops/quant.py fuse_qwen_projections: exact row-stack)
+            fused = _linear(h, blk["attn"]["qkv"])
+            qw, kw = H * hd, KV * hd
+            qf = fused[..., :qw]
+            kf = fused[..., qw : qw + kw]
+            vf = fused[..., qw + kw :]
+        else:
+            qf = _linear(h, blk["attn"]["q"])
+            kf = _linear(h, blk["attn"]["k"])
+            vf = _linear(h, blk["attn"]["v"])
+        q = qf.reshape(b, t, H, hd).transpose(0, 2, 1, 3)
+        k = kf.reshape(b, t, KV, hd).transpose(0, 2, 1, 3)
+        v = vf.reshape(b, t, KV, hd).transpose(0, 2, 1, 3)
         if config.qk_norm:
             q = rms_norm(q, blk["attn"]["q_norm"], config.rms_norm_eps)
             k = rms_norm(k, blk["attn"]["k_norm"], config.rms_norm_eps)
@@ -232,8 +243,14 @@ def decode_step(
         x = x + _linear(attn, blk["attn"]["o"])
 
         h = rms_norm(x, blk["post_ln"], config.rms_norm_eps)
-        gate = jax.nn.silu(_linear(h, blk["mlp"]["gate"]))
-        up = _linear(h, blk["mlp"]["up"])
+        if "gate_up" in blk["mlp"]:  # fused quantized projection
+            gu = _linear(h, blk["mlp"]["gate_up"])
+            ffn = gu.shape[-1] // 2
+            gate = jax.nn.silu(gu[..., :ffn])
+            up = gu[..., ffn:]
+        else:
+            gate = jax.nn.silu(_linear(h, blk["mlp"]["gate"]))
+            up = _linear(h, blk["mlp"]["up"])
         x = x + _linear(gate * up, blk["mlp"]["down"])
 
     x = rms_norm(x, params["final_ln"], config.rms_norm_eps)

@@ -232,6 +232,44 @@ def stack_quant(tensors: "list[QuantTensor]") -> QuantTensor:
     )
 
 
+def fuse_qwen_projections(params: dict) -> dict:
+    """Fuse each qwen layer's quantized projections: q/k/v → one ``qkv``
+    dequant-matmul and gate/up → one ``gate_up`` (decode is launch- and
+    weight-stream-bound at low batch; 5 matmuls per layer become 3).
+
+    Row-stacking quantized tensors is exact (group quantization is
+    per-output-row, see :func:`stack_quant`); models/qwen.py decode_step
+    splits the fused outputs at the known head/intermediate widths.
+    """
+
+    def fused_layer(blk: dict) -> dict:
+        attn, mlp = blk["attn"], blk["mlp"]
+        out = dict(blk)
+        if all(isinstance(attn[k]["w"], QuantTensor) for k in ("q", "k", "v")):
+            new_attn = {
+                "qkv": {"w": stack_quant([attn["q"]["w"], attn["k"]["w"],
+                                          attn["v"]["w"]])},
+                "o": attn["o"],
+            }
+            if "b" in attn["q"]:  # qwen2 attention_bias: all three carry b
+                new_attn["qkv"]["b"] = jnp.concatenate(
+                    [attn["q"]["b"], attn["k"]["b"], attn["v"]["b"]])
+            for k in ("q_norm", "k_norm"):  # qwen3 qk-norm params
+                if k in attn:
+                    new_attn[k] = attn[k]
+            out["attn"] = new_attn
+        if all(isinstance(mlp[k]["w"], QuantTensor) for k in ("gate", "up")):
+            out["mlp"] = {
+                "gate_up": {"w": stack_quant([mlp["gate"]["w"], mlp["up"]["w"]])},
+                "down": mlp["down"],
+            }
+        return out
+
+    fused = dict(params)
+    fused["layers"] = [fused_layer(blk) for blk in params["layers"]]
+    return fused
+
+
 def fuse_whisper_qkv(params: dict) -> dict:
     """Add fused ``qkv`` projections to every *self*-attention block whose
     q/k/v weights are QuantTensors (cross-attention K/V are precomputed per
