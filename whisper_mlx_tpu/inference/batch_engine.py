@@ -13,10 +13,11 @@ decode *slots* resident on device:
   other slots;
 - a finished request frees its slot at its stop token; the others continue.
 
-All shapes are static: the KV cache is (S, kv_heads, max_len, head_dim) per
-layer, prompts are right-padded to PROMPT_BUCKET multiples, and per-slot
-positions drive per-row RoPE/mask/cache-scatter in
-``models.qwen.decode_step`` (pos as a (S,) vector).
+All shapes are static: the KV cache is (S, kv_heads, head_dim, max_len)
+per layer (time-minor — models/qwen.py init_kv_cache), prompts are
+right-padded to PROMPT_BUCKET multiples, and per-slot positions drive
+per-row RoPE/mask/cache-scatter in ``models.qwen.decode_step`` (pos as a
+(S,) vector).
 
 Host/device split: a single worker thread owns the device state and runs
 admit → step → dispatch; requests talk to it through thread-safe queues.
@@ -107,6 +108,7 @@ class _Request:
     out: "queue.SimpleQueue[int | None]" = field(default_factory=queue.SimpleQueue)
     emitted: int = 0
     cancelled: bool = False
+    done: bool = False  # emission closed (worker-side; see pipelined loop)
 
 
 class RequestHandle:
@@ -262,7 +264,8 @@ class ContinuousBatchEngine:
 
     def _finish(self, slot: int) -> None:
         req = self._slot_req[slot]
-        if req is not None:
+        if req is not None and not req.done:
+            req.done = True
             req.out.put(None)
         self._slot_req[slot] = None
 
@@ -280,37 +283,64 @@ class ContinuousBatchEngine:
             raise
 
     def _run(self) -> None:
+        # Pipelined by one step: dispatch step i+1 to the device BEFORE
+        # fetching step i's tokens to the host, so the device→host round
+        # trip overlaps the next step's compute (per-token dispatch+fetch
+        # latency otherwise serializes the whole decode — on this
+        # environment's relay it dominates). The lag means a slot that
+        # stops at step i still computes a throwaway token at step i+1;
+        # emission captures request OBJECTS at dispatch time, so a slot
+        # re-admitted in between never receives the stale token.
+        in_flight = None  # (tok_dev, stop_dev, pos_dev, [(slot, req), ...])
+
+        def drain(batch) -> None:
+            tok_dev, stop_dev, pos_dev, slot_reqs = batch
+            tok_np = np.asarray(tok_dev)
+            stop_np = np.asarray(stop_dev)
+            pos_np = np.asarray(pos_dev)
+            for i, req in slot_reqs:
+                if req.done:
+                    continue  # stopped at the previous step; stale token
+                if req.cancelled or stop_np[i]:
+                    if self._slot_req[i] is req:
+                        self._finish(i)
+                    else:  # slot already re-assigned; close just the req
+                        req.done = True
+                        req.out.put(None)
+                    continue
+                req.out.put(int(tok_np[i]))
+                req.emitted += 1
+                if req.emitted >= req.max_tokens or pos_np[i] >= self.max_len - 1:
+                    if self._slot_req[i] is req:
+                        self._finish(i)
+                    else:
+                        req.done = True
+                        req.out.put(None)
+
         while not self._shutdown:
-            if not any(self._slot_req) and self._pending.empty():
+            if (not any(self._slot_req) and self._pending.empty()
+                    and in_flight is None):
                 self._wakeup.wait(timeout=0.2)
                 self._wakeup.clear()
                 continue
             self._admit()
             active = [i for i, r in enumerate(self._slot_req) if r is not None]
-            if not active:
-                continue
-
-            temps = np.zeros(self.slots, np.float32)
-            for i in active:
-                temps[i] = self._slot_req[i].temperature
-            self._key, sub = jax.random.split(self._key)
-            tok, is_stop, self._logits, self._cache, self._pos = _batch_step(
-                self.params, self._cache, self._logits, self._pos,
-                jnp.asarray(temps), sub, self._stop_arr,
-                config=self.config, top_p=self.top_p, top_k=self.top_k,
-            )
-            tok_np = np.asarray(tok)
-            stop_np = np.asarray(is_stop)
-            pos_np = np.asarray(self._pos)
-            self._steps += 1
-            self._step_occupancy.append(len(active))
-
-            for i in active:
-                req = self._slot_req[i]
-                if req.cancelled or stop_np[i]:
-                    self._finish(i)
-                    continue
-                req.out.put(int(tok_np[i]))
-                req.emitted += 1
-                if req.emitted >= req.max_tokens or pos_np[i] >= self.max_len - 1:
-                    self._finish(i)
+            if active:
+                temps = np.zeros(self.slots, np.float32)
+                for i in active:
+                    temps[i] = self._slot_req[i].temperature
+                self._key, sub = jax.random.split(self._key)
+                tok, is_stop, self._logits, self._cache, self._pos = _batch_step(
+                    self.params, self._cache, self._logits, self._pos,
+                    jnp.asarray(temps), sub, self._stop_arr,
+                    config=self.config, top_p=self.top_p, top_k=self.top_k,
+                )
+                self._steps += 1
+                self._step_occupancy.append(len(active))
+                next_flight = (tok, is_stop, self._pos,
+                               [(i, self._slot_req[i]) for i in active])
+            else:
+                next_flight = None
+            if in_flight is not None:
+                drain(in_flight)
+            in_flight = next_flight

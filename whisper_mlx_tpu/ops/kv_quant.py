@@ -78,6 +78,11 @@ def attention_int8_auto(
     else:
         valid = k_idx < (tk if valid_len is None else valid_len)
         mask = jnp.where(jnp.broadcast_to(valid, (tq, tk)), 0.0, -jnp.inf)
+    # formulation matters: this 2-batch-dim einsum over the time-minor
+    # cache is the measured-best lowering (212 RTF e2e). Flattening (b, h)
+    # into one batch dim measured 2.7× SLOWER (77.6 RTF — the reshape of
+    # the dynamically-updated cache materializes a copy per step), and
+    # bf16 operands were neutral (212.0) — bench_history.jsonl r2.
     scores = jnp.einsum(
         "bhqd,bhdk->bhqk", q.astype(jnp.float32), k8t.astype(jnp.float32)
     )
