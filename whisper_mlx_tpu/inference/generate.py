@@ -70,6 +70,25 @@ def sample_token(
     return jnp.where(use_sample, sampled, greedy)
 
 
+@partial(jax.jit, static_argnames=("config", "top_p", "top_k"))
+def _stream_step(
+    params: Params,
+    last: jnp.ndarray,  # (1, V) fp32 — logits to sample from
+    cache: list,
+    pos: jnp.ndarray,
+    temperature: jnp.ndarray,
+    rng: jax.Array,
+    config: QwenConfig,
+    top_p: float,
+    top_k: int,
+):
+    """Fused sample + decode step for the streaming loop: keeps the token
+    on device so the host can dispatch step i+1 before fetching token i."""
+    tok = sample_token(last, rng, temperature, top_p, top_k)  # (1,)
+    logits, cache = decode_step(params, tok[:, None], pos, cache, config)
+    return tok, logits[:, -1].astype(jnp.float32), cache
+
+
 # ---------------------------------------------------------------------------
 # chat template (ChatML — the Qwen family format)
 # ---------------------------------------------------------------------------
@@ -313,21 +332,44 @@ class LLMEngine:
         out: list[int] = []
         sent = 0
         pos = len(ids)
-        for _ in range(max_tokens):
-            key, sub = jax.random.split(key)
-            tok = int(sample_token(last, sub, jnp.float32(temperature), top_p, top_k)[0])
-            if tok in stops:
-                break
+
+        def emit(tok: int):
+            nonlocal sent
             out.append(tok)
             text = self.tokenizer.decode(out)
             if not text.endswith("�") and len(text) > sent:
-                yield text[sent:]
+                inc = text[sent:]
                 sent = len(text)
-            logits, cache = decode_step(
-                self.params, jnp.asarray([[tok]], jnp.int32), jnp.int32(pos), cache, self.config
+                return inc
+            return None
+
+        # pipelined by one step: dispatch the fused sample+decode for step
+        # i+1 BEFORE fetching step i's token, so the device→host fetch
+        # overlaps the next step's compute (same structure as
+        # batch_engine._run; a stop token costs one throwaway step).
+        pending = None
+        for _ in range(max_tokens):
+            key, sub = jax.random.split(key)
+            tok_dev, last, cache = _stream_step(
+                self.params, last, cache, jnp.int32(pos),
+                jnp.float32(temperature), sub,
+                config=self.config, top_p=top_p, top_k=top_k,
             )
-            last = logits[:, -1].astype(jnp.float32)
             pos += 1
+            if pending is not None:
+                tok = int(pending[0])
+                if tok in stops:
+                    return
+                inc = emit(tok)
+                if inc is not None:
+                    yield inc
+            pending = tok_dev
+        if pending is not None:
+            tok = int(pending[0])
+            if tok not in stops:
+                inc = emit(tok)
+                if inc is not None:
+                    yield inc
 
     def chat(
         self,
