@@ -221,10 +221,18 @@ def mha(
         k = _split_heads(linear(kv_source, p["k"]), n_head)
         v = _split_heads(linear(kv_source, p["v"]), n_head)
     if use_flash and not return_weights and mask is None:
-        from whisper_mlx_tpu.ops.flash_attention import flash_attention
-
         scale = q.shape[-1] ** -0.25
-        out = flash_attention(q * scale, k * scale, v)
+        if k.shape[2] <= 2048:
+            # encoder shapes: whole-Tk rows fit VMEM — the bh-tiled dense
+            # kernel amortizes program overhead ~50× better than the
+            # block-streamed flash kernel (ops/dense_attention.py).
+            from whisper_mlx_tpu.ops.dense_attention import dense_attention
+
+            out = dense_attention(q * scale, k * scale, v)
+        else:
+            from whisper_mlx_tpu.ops.flash_attention import flash_attention
+
+            out = flash_attention(q * scale, k * scale, v)
         return linear(_merge_heads(out), p["o"]), None
     out, w = attention(q, k, v, mask, return_weights)
     return linear(_merge_heads(out), p["o"]), w
