@@ -99,6 +99,7 @@ def test_encoder_flash_flag_matches_xla():
     from unittest import mock
 
     from whisper_mlx_tpu.models.whisper import WhisperConfig, encode, init_params
+    from whisper_mlx_tpu.ops import dense_attention as da
     from whisper_mlx_tpu.ops import flash_attention as fa
 
     config = WhisperConfig(
@@ -112,14 +113,22 @@ def test_encoder_flash_flag_matches_xla():
 
     ref = np.asarray(encode(params, mel, config))
 
-    orig = fa.flash_attention
-    # force interpret mode on CPU
-    def interp(q, k, v, **kw):
+    orig_fa = fa.flash_attention
+    orig_da = da.dense_attention
+
+    # force interpret mode on CPU (mha routes Tk ≤ 2048 to the dense
+    # kernel, longer to flash — patch both)
+    def interp_fa(q, k, v, **kw):
         kw["interpret"] = True
-        return orig(q, k, v, **kw)
+        return orig_fa(q, k, v, **kw)
+
+    def interp_da(q, k, v, **kw):
+        kw["interpret"] = True
+        return orig_da(q, k, v, **kw)
 
     cfg_flash = dataclasses.replace(config, flash_attention=True)
-    with mock.patch.object(fa, "flash_attention", interp):
+    with mock.patch.object(fa, "flash_attention", interp_fa), \
+            mock.patch.object(da, "dense_attention", interp_da):
         out = np.asarray(encode(params, mel, cfg_flash))
     np.testing.assert_allclose(out, ref, atol=2e-4, rtol=2e-4)
 

@@ -41,13 +41,17 @@ def _round_up(x: int, m: int) -> int:
 
 def _dense_attn_kernel(q_ref, kt_ref, v_ref, out_ref, *, bh_tile: int,
                        valid_len: int):
+    # compute dtype follows the activations: bf16 serving path rounds the
+    # softmax weights to bf16 for the PV dot (the accuracy class of the
+    # default-precision TPU einsum); the fp32 oracle path stays fp32.
+    compute = jnp.bfloat16 if q_ref.dtype == jnp.bfloat16 else jnp.float32
     tq = q_ref.shape[1]
     tk = kt_ref.shape[2]
     k_idx = jax.lax.broadcasted_iota(jnp.int32, (tq, tk), 1)
     valid = k_idx < valid_len
     for j in range(bh_tile):
-        q = q_ref[j]  # (Tq_tile, hd) bf16, pre-scaled
-        kt = kt_ref[j]  # (hd, Tk) bf16, pre-scaled
+        q = q_ref[j]  # (Tq_tile, hd) pre-scaled
+        kt = kt_ref[j]  # (hd, Tk) pre-scaled
         s = jax.lax.dot_general(
             q, kt, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -55,9 +59,10 @@ def _dense_attn_kernel(q_ref, kt_ref, v_ref, out_ref, *, bh_tile: int,
         s = jnp.where(valid, s, NEG_INF)
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s - m)
-        w = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(jnp.bfloat16)
+        w = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(compute)
         out_ref[j] = jax.lax.dot_general(
-            w, v_ref[j], dimension_numbers=(((1,), (0,)), ((), ())),
+            w, v_ref[j].astype(compute),
+            dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ).astype(out_ref.dtype)
 
@@ -84,9 +89,9 @@ def dense_attention(
     Tqp = _round_up(Tq, tq_tile)
     Tkp = _round_up(Tk, 128)
 
-    qf = q.astype(jnp.bfloat16).reshape(BH, Tq, hd)
-    ktf = jnp.swapaxes(k.astype(jnp.bfloat16), 2, 3).reshape(BH, hd, Tk)
-    vf = v.astype(jnp.bfloat16).reshape(BH, Tk, hd)
+    qf = q.reshape(BH, Tq, hd)
+    ktf = jnp.swapaxes(k, 2, 3).reshape(BH, hd, Tk)
+    vf = v.reshape(BH, Tk, hd)
     if Tqp != Tq:
         qf = jnp.pad(qf, ((0, 0), (0, Tqp - Tq), (0, 0)))
     if Tkp != Tk:
