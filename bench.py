@@ -195,6 +195,7 @@ def main() -> None:
     quant_bits = int(os.environ.get("BENCH_QUANT", "0"))  # 0=off, 4, 8
     kv_bits = int(os.environ.get("BENCH_KV", "8"))  # 0=bf16, 8=int8 cross-KV
     self_kv = int(os.environ.get("BENCH_SELF_KV", "8"))  # int8 self-KV
+    beam = int(os.environ.get("BENCH_BEAM", "0"))  # 0=greedy, N=beam size
 
     config = dataclasses.replace(
         WHISPER_CONFIGS[model_name], dtype=jnp.bfloat16,
@@ -219,12 +220,14 @@ def main() -> None:
     audio = rng.standard_normal((batch, N_SAMPLES)).astype(np.float32) * 0.1
     audio_dev = jnp.asarray(audio)
 
+    options = DecodingOptions(
+        sample_len=sample_len, without_timestamps=False,
+        beam_size=beam or None,
+    )
+
     def pipeline():
         mel = jax.vmap(lambda a: log_mel_spectrogram(a, n_mels=config.n_mels))(audio_dev)
-        return decode(
-            params, mel, tok, config,
-            DecodingOptions(sample_len=sample_len, without_timestamps=False),
-        )
+        return decode(params, mel, tok, config, options)
 
     t0 = time.perf_counter()
     pipeline()  # compile + warmup
@@ -253,13 +256,13 @@ def main() -> None:
             f.write(json.dumps({
                 **line, "batch": batch, "sample_len": sample_len,
                 "flash": use_flash, "quant": quant_bits, "kv": kv_bits,
-                "self_kv": self_kv, "best_s": round(best, 3),
+                "self_kv": self_kv, "beam": beam, "best_s": round(best, 3),
             }) + "\n")
     except OSError:
         pass
     print(
         f"# model={model_name} batch={batch} sample_len={sample_len} "
-        f"flash={use_flash} quant={quant_bits} kv={kv_bits} self_kv={self_kv} "
+        f"flash={use_flash} quant={quant_bits} kv={kv_bits} self_kv={self_kv} beam={beam} "
         f"best={best:.3f}s times={['%.3f' % t for t in times]} "
         f"compile+warmup={compile_s:.1f}s backend={jax.default_backend()} "
         f"devices={jax.device_count()}",
