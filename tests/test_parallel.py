@@ -60,6 +60,23 @@ def test_sharded_decode_matches_single_device(tiny, dp, tp):
         np.testing.assert_allclose(rb.avg_logprob, rs.avg_logprob, atol=1e-4)
 
 
+def test_sharded_decode_int8_kv_matches_single_device(tiny):
+    """The serving default (int8 cross+self KV, time-minor caches) must be
+    token-identical under DP×TP sharding — the transposed int8 cache
+    tensors are sharded data like any other (GSPMD layout only)."""
+    import dataclasses
+
+    params, config, tok, mel = tiny
+    config = dataclasses.replace(config, kv_bits=8, self_kv_bits=8)
+    base = decode(params, jnp.asarray(mel), tok, config, DecodingOptions(sample_len=16))
+    mesh = make_mesh(dp=4, tp=2)
+    p_sh = shard_params(params, mesh)
+    mel_sh = shard_batch(jnp.asarray(mel), mesh)
+    sharded = decode(p_sh, mel_sh, tok, config, DecodingOptions(sample_len=16))
+    for b, s in zip(base, sharded):
+        assert b.tokens == s.tokens
+
+
 def test_sharded_encoder_states_match(tiny):
     params, config, tok, mel = tiny
     ref = np.asarray(encode(params, jnp.asarray(mel), config))

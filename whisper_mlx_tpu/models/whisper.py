@@ -281,8 +281,17 @@ def cross_kv(params: Params, audio_states: jnp.ndarray, config: WhisperConfig) -
     head_dim**-0.25, matching the attention convention) and values are
     stored int8 with per-position scales (ops/kv_quant.py).
     """
+    import os
+
     out = []
     scale = (config.n_text_state // config.n_text_head) ** -0.25
+    # K AND V are cached transposed (time-minor); when the opt-in Pallas
+    # decode kernel is active, T is additionally padded to the lane tile
+    # ONCE here so it streams contiguous lane-aligned blocks with zero
+    # per-step padding copies (ops/decode_attention.py) — the tail is
+    # masked via valid_len. The default XLA einsum path needs no padding,
+    # and padding would cost it extra traffic.
+    use_kernel = os.environ.get("WTPU_DECODE_ATTN_KERNEL") == "1"
     for blk in params["decoder"]["blocks"]:
         k = _split_heads(linear(audio_states, blk["cross_attn"]["k"]), config.n_text_head)
         v = _split_heads(linear(audio_states, blk["cross_attn"]["v"]), config.n_text_head)
@@ -291,16 +300,7 @@ def cross_kv(params: Params, audio_states: jnp.ndarray, config: WhisperConfig) -
 
             k8, ks = quantize_kv(k * scale)
             v8, vs = quantize_kv(v)
-            # K AND V cached transposed (time-minor); when the opt-in Pallas
-            # decode kernel is active, T is additionally padded to the lane
-            # tile ONCE here so it streams contiguous lane-aligned blocks
-            # with zero per-step padding copies (ops/decode_attention.py) —
-            # the tail is masked via valid_len. The default XLA einsum path
-            # needs no padding, and padding would cost it extra traffic.
-            import os
-
             t = k8.shape[2]
-            use_kernel = os.environ.get("WTPU_DECODE_ATTN_KERNEL") == "1"
             t_pad = (-t % 128) if use_kernel else 0
             k8t = jnp.swapaxes(k8, 2, 3)
             v8t = jnp.swapaxes(v8, 2, 3)
