@@ -271,3 +271,51 @@ def test_fused_qkv_decode_identical(tiny):
     r_f = decode(fused, mel, tok, config, opts)
     assert [r.tokens for r in r_q] == [r.tokens for r in r_f]
     np.testing.assert_allclose(r_q[0].avg_logprob, r_f[0].avg_logprob, atol=1e-5)
+
+
+def test_dequantize_params_matches_quant_path():
+    """Dequant-at-load serving (quant_loader dequant=True) must reproduce
+    the quantized path exactly: both represent the same 4-bit weights, so
+    decode over the dense dequantized tree == decode over QuantTensors
+    (on CPU both compute f32; on TPU they differ only by the fused
+    kernel's bf16 compute class)."""
+    import dataclasses
+
+    from whisper_mlx_tpu.models.whisper import (
+        WhisperConfig,
+        cross_kv,
+        decode_step,
+        encode,
+        init_kv_cache,
+        init_params,
+    )
+    from whisper_mlx_tpu.ops.quant import dequantize_params, quantize_params
+
+    cfg = WhisperConfig(
+        n_mels=80, n_vocab=512, n_audio_state=128, n_audio_head=4,
+        n_audio_layer=2, n_text_state=128, n_text_head=4, n_text_layer=2,
+    )
+    params = init_params(cfg, seed=0)
+    qp = quantize_params(params, bits=4, group_size=64)
+    dp = dequantize_params(qp, dtype=jnp.float32)
+
+    # identical tree structure and leaf shapes as the original fp pytree
+    flat_o, tree_o = jax.tree_util.tree_flatten(params)
+    flat_d, tree_d = jax.tree_util.tree_flatten(dp)
+    assert tree_o == tree_d
+    assert all(a.shape == b.shape for a, b in zip(flat_o, flat_d))
+
+    rng = np.random.default_rng(0)
+    mel = jnp.asarray(rng.standard_normal((1, 3000, 80)).astype(np.float32))
+    sq = encode(qp, mel, cfg)
+    sd = encode(dp, mel, cfg)
+    np.testing.assert_allclose(np.asarray(sq), np.asarray(sd), atol=1e-4)
+
+    toks = jnp.asarray([[1, 2, 3]], jnp.int32)
+    lq, _, _ = decode_step(qp, toks, jnp.int32(0), init_kv_cache(cfg, 1),
+                           cross_kv(qp, sq, cfg), cfg)
+    ld, _, _ = decode_step(dp, toks, jnp.int32(0), init_kv_cache(cfg, 1),
+                           cross_kv(dp, sd, cfg), cfg)
+    scale = float(jnp.max(jnp.abs(lq)))
+    np.testing.assert_allclose(np.asarray(lq), np.asarray(ld),
+                               atol=1e-3 * max(scale, 1.0))

@@ -144,13 +144,23 @@ def convert_mlx_whisper_state(
 
 
 def load_mlx_whisper(model_dir: str | Path, dtype=jnp.float32,
-                     fuse_qkv: bool = True) -> tuple[Params, WhisperConfig]:
+                     fuse_qkv: bool = True,
+                     dequant: bool | None = None) -> tuple[Params, WhisperConfig]:
     """Load an mlx-community Whisper model directory.
 
     ``fuse_qkv`` (quantized checkpoints only) stacks each self-attention
     block's q/k/v QuantTensors into one fused projection — one dequant
     matmul per step instead of three (ops/quant.py fuse_whisper_qkv;
-    bit-exact)."""
+    bit-exact).
+
+    ``dequant`` (default: WTPU_DEQUANT_AT_LOAD env, off) dequantizes the
+    4-bit weights to bf16 ONCE at load: whisper fits HBM comfortably in
+    bf16, so a 4-bit checkpoint then serves at full bf16 decode speed.
+    Keep it off to hold weights int4-resident (8× less weight HBM — the
+    larger window batches that buys are the 4-bit path's throughput edge,
+    docs/performance.md)."""
+    import os
+
     from whisper_mlx_tpu.checkpoint.io_util import load_safetensors_dir
 
     model_dir = Path(model_dir)
@@ -159,6 +169,12 @@ def load_mlx_whisper(model_dir: str | Path, dtype=jnp.float32,
     quant = cfg.get("quantization")
     sd = load_safetensors_dir(model_dir)
     params = convert_mlx_whisper_state(sd, config, quant, dtype)
+    if dequant is None:
+        dequant = os.environ.get("WTPU_DEQUANT_AT_LOAD") == "1"
+    if quant and dequant:
+        from whisper_mlx_tpu.ops.quant import dequantize_params
+
+        return dequantize_params(params, dtype=jnp.bfloat16), config
     if fuse_qkv and quant:
         from whisper_mlx_tpu.ops.quant import fuse_whisper_qkv
 

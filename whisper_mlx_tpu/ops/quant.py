@@ -232,6 +232,33 @@ def stack_quant(tensors: "list[QuantTensor]") -> QuantTensor:
     )
 
 
+def dequantize_params(params, dtype=jnp.bfloat16):
+    """Dequantize every QuantTensor in a pytree back to dense weights.
+
+    Dequant-at-load serving mode: whisper-sized models fit HBM comfortably
+    in bf16 (large-v3 ≈ 3.2 GiB of 16 GiB), so serving an mlx 4-bit
+    checkpoint at full bf16 decode speed costs one load-time pass — the
+    fused dequant kernels remain for memory-tight models (Qwen3-32B needs
+    the 4-bit residency, parallel/memory_plan.py). QuantTensors dequantize
+    on device (milliseconds); MLX stores linears (out, in) while fp
+    pytrees store (in, out), so 2-D weights transpose back — EXCEPT
+    embedding tables, which are (vocab, d) in both layouts (recognized by
+    the ``embed`` / ``token_emb`` key).
+    """
+
+    def walk(node, key=None):
+        if isinstance(node, QuantTensor):
+            w = node.dequantize(dtype=dtype)
+            return w if key in ("embed", "token_emb") else w.T
+        if isinstance(node, dict):
+            return {k: walk(v, k) for k, v in node.items()}
+        if isinstance(node, list):
+            return [walk(v) for v in node]
+        return node
+
+    return walk(params)
+
+
 def fuse_qwen_projections(params: dict) -> dict:
     """Fuse each qwen layer's quantized projections: q/k/v → one ``qkv``
     dequant-matmul and gate/up → one ``gate_up`` (decode is launch- and
