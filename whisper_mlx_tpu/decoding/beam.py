@@ -85,12 +85,16 @@ def beam_decode(
     eot = filter_cfg.eot
     NB = N * B
 
-    states_flat = jnp.repeat(audio_states, B, axis=0)  # (N*B, 1500, d)
-    xkv = cross_kv(params, states_flat, config)
+    # cross K/V are beam-invariant (pure function of the audio): computed
+    # ONCE per window and SHARED across the B hypothesis rows via grouped
+    # cross-attention (share_xkv_groups) — replicating them multiplied the
+    # decode loop's dominant HBM stream by B.
+    xkv = cross_kv(params, audio_states, config)
     cache = init_kv_cache(config, NB)
 
     init_flat = jnp.repeat(initial_tokens, B, axis=0)
-    logits_all, cache, _ = decode_step(params, init_flat, jnp.int32(0), cache, xkv, config)
+    logits_all, cache, _ = decode_step(params, init_flat, jnp.int32(0), cache,
+                                       xkv, config, share_xkv_groups=B)
     no_speech_probs = jax.nn.softmax(
         logits_all[::B, sot_index].astype(jnp.float32), axis=-1
     )[:, no_speech_token]
@@ -200,7 +204,8 @@ def beam_decode(
         cache_g = jax.tree.map(lambda c: c[flat_parent], s.cache)
 
         step_logits, cache_new, _ = decode_step(
-            params, new_token.reshape(-1, 1), s.cur_len, cache_g, xkv, config
+            params, new_token.reshape(-1, 1), s.cur_len, cache_g, xkv, config,
+            share_xkv_groups=B,
         )
         return State(
             tokens=tokens,

@@ -38,7 +38,8 @@ class GreedyResult(NamedTuple):
 
 @partial(
     jax.jit,
-    static_argnames=("config", "filter_cfg", "sample_len", "sot_index"),
+    static_argnames=("config", "filter_cfg", "sample_len", "sot_index",
+                     "share_xkv_groups"),
 )
 def greedy_decode(
     params: Params,
@@ -53,7 +54,12 @@ def greedy_decode(
     sample_len: int,
     sot_index: int,
     no_speech_token: int,
+    share_xkv_groups: int = 1,
 ) -> GreedyResult:
+    """``share_xkv_groups=g``: audio_states holds batch/g windows whose
+    cross K/V are SHARED by g consecutive decode rows (best_of candidates
+    — decoding/task.py) instead of being replicated g× into the decode
+    loop's dominant HBM stream."""
     batch, n_init = initial_tokens.shape
     n_ctx = config.n_text_ctx
     eot = filter_cfg.eot
@@ -63,7 +69,8 @@ def greedy_decode(
 
     # ---- prefill ----------------------------------------------------------
     logits_all, cache, _ = decode_step(
-        params, initial_tokens, jnp.int32(0), cache, xkv, config
+        params, initial_tokens, jnp.int32(0), cache, xkv, config,
+        share_xkv_groups=share_xkv_groups,
     )
     no_speech_probs = jax.nn.softmax(logits_all[:, sot_index].astype(jnp.float32), axis=-1)[
         :, no_speech_token
@@ -118,7 +125,8 @@ def greedy_decode(
             s.tokens, next_tok[:, None], (0, s.cur_len)
         )
         step_logits, cache, _ = decode_step(
-            params, next_tok[:, None], s.cur_len, s.cache, xkv, config
+            params, next_tok[:, None], s.cur_len, s.cache, xkv, config,
+            share_xkv_groups=share_xkv_groups,
         )
         return State(
             tokens=tokens,

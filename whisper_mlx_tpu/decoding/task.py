@@ -199,11 +199,10 @@ def decode(
     )
 
     n_candidates = options.best_of if (options.best_of and options.temperature > 0) else 1
-    if n_candidates > 1:
-        # best_of sampling: replicate each window, pick best by sum_logprob
-        audio_states = jnp.repeat(audio_states, n_candidates, axis=0)
-
-    eff_batch = audio_states.shape[0]
+    # best_of sampling: n_candidates decode rows per window, ranked by
+    # sum_logprob. The windows' cross K/V are SHARED across candidates
+    # (share_xkv_groups) — audio_states stays unreplicated.
+    eff_batch = audio_states.shape[0] * n_candidates
     initial = jnp.tile(jnp.asarray(init_tokens, jnp.int32)[None, :], (eff_batch, 1))
     if rng is None:
         rng = jax.random.PRNGKey(0)
@@ -221,6 +220,7 @@ def decode(
         sample_len=sample_len,
         sot_index=sot_index,
         no_speech_token=tokenizer.no_speech,
+        share_xkv_groups=n_candidates,
     )
 
     tokens_np = np.asarray(result.tokens)

@@ -358,6 +358,7 @@ def decode_step(
     xkv: list[Params],
     config: WhisperConfig,
     collect_cross_attn: bool = False,
+    share_xkv_groups: int = 1,
 ):
     """Run the decoder on ``tokens`` starting at position ``pos``.
 
@@ -413,11 +414,35 @@ def decode_step(
 
         h = layer_norm(x, blk["cross_attn_ln"])
         qx = _split_heads(linear(h, blk["cross_attn"]["q"]), config.n_text_head)
-        if "k8t" in xkv[i]:  # int8 KV path (never collects weights — DTW
+        scale = qx.shape[-1] ** -0.25
+        if share_xkv_groups > 1:
+            # beam/best_of: g hypothesis rows share one window's cross K/V
+            # — the grouped attention broadcasts the shared cache instead
+            # of streaming a g×-replicated copy (the decode loop's dominant
+            # HBM traffic). xkv arrives UNREPLICATED (batch n = b/g).
+            g = share_xkv_groups
+            n = qx.shape[0] // g
+            qx5 = qx.reshape(n, g, *qx.shape[1:])
+            if "k8t" in xkv[i]:
+                from whisper_mlx_tpu.ops.kv_quant import attention_int8_grouped
+
+                out5 = attention_int8_grouped(
+                    qx5 * scale, xkv[i]["k8t"], xkv[i]["ks"], xkv[i]["v8t"],
+                    xkv[i]["vs"], valid_len=config.n_audio_ctx,
+                )
+            else:
+                s5 = jnp.einsum(
+                    "nghqd,nhkd->nghqk", (qx5 * scale).astype(jnp.float32),
+                    (xkv[i]["k"] * scale).astype(jnp.float32),
+                )
+                w5 = jax.nn.softmax(s5, axis=-1).astype(xkv[i]["v"].dtype)
+                out5 = jnp.einsum("nghqk,nhkd->nghqd", w5, xkv[i]["v"])
+            cross_out = out5.reshape(qx.shape).astype(qx.dtype)
+            cw = None
+        elif "k8t" in xkv[i]:  # int8 KV path (never collects weights — DTW
             # alignment uses a full-precision pass)
             from whisper_mlx_tpu.ops.kv_quant import attention_int8_auto
 
-            scale = qx.shape[-1] ** -0.25
             cross_out = attention_int8_auto(
                 qx * scale, xkv[i]["k8t"], xkv[i]["ks"], xkv[i]["v8t"],
                 xkv[i]["vs"], valid_len=config.n_audio_ctx,

@@ -93,6 +93,38 @@ def attention_int8_auto(
     return out.astype(q.dtype)
 
 
+def attention_int8_grouped(
+    q: jnp.ndarray,        # (n, g, h, tq, d) — g beams/candidates per window
+    k8t: jnp.ndarray,      # (n, h, d, tk) int8 — SHARED across the g axis
+    k_scale: jnp.ndarray,  # (n, h, tk, 1)
+    v8t: jnp.ndarray,      # (n, h, d, tk) int8 — shared
+    v_scale: jnp.ndarray,  # (n, h, tk, 1)
+    valid_len: int | None = None,
+) -> jnp.ndarray:
+    """Cross-attention where g decode rows share one window's K/V.
+
+    Beam search / best_of decode N windows × g hypotheses, but cross K/V
+    depend only on the audio — replicating them per hypothesis multiplies
+    the decode loop's DOMINANT HBM stream by g (beam.py used to
+    ``jnp.repeat`` the encoder states). The grouped einsum broadcasts the
+    shared cache over g without materializing it.
+    """
+    tk = k8t.shape[3]
+    if valid_len is not None and valid_len < tk:
+        k_idx = jnp.arange(tk)[None, :]
+        mask = jnp.where(k_idx < valid_len, 0.0, -jnp.inf)
+    else:
+        mask = 0.0
+    scores = jnp.einsum(
+        "nghqd,nhdk->nghqk", q.astype(jnp.float32), k8t.astype(jnp.float32)
+    )
+    scores = scores * k_scale[..., 0][:, None, :, None, :] + mask
+    w = jax.nn.softmax(scores, axis=-1)
+    w = w * v_scale[..., 0][:, None, :, None, :]
+    out = jnp.einsum("nghqk,nhdk->nghqd", w, v8t.astype(jnp.float32))
+    return out.astype(q.dtype)
+
+
 def attention_int8_kv(
     q: jnp.ndarray,  # (b, h, tq, d) fp — pre-scaled by head_dim**-0.25
     k8: jnp.ndarray,  # (b, h, tk, d) int8 — quantized pre-scaled keys
