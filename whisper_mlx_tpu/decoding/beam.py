@@ -90,7 +90,8 @@ def beam_decode(
     # cross-attention (share_xkv_groups) — replicating them multiplied the
     # decode loop's dominant HBM stream by B.
     xkv = cross_kv(params, audio_states, config)
-    cache = init_kv_cache(config, NB)
+    # right-size the cache: the per-step parent gather rewrites ALL of it
+    cache = init_kv_cache(config, NB, max_len=n_init + sample_len)
 
     init_flat = jnp.repeat(initial_tokens, B, axis=0)
     logits_all, cache, _ = decode_step(params, init_flat, jnp.int32(0), cache,

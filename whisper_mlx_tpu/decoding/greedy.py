@@ -65,7 +65,8 @@ def greedy_decode(
     eot = filter_cfg.eot
 
     xkv = cross_kv(params, audio_states, config)
-    cache = init_kv_cache(config, batch)
+    # right-size the cache to the real horizon — every step re-reads it all
+    cache = init_kv_cache(config, batch, max_len=n_init + sample_len)
 
     # ---- prefill ----------------------------------------------------------
     logits_all, cache, _ = decode_step(

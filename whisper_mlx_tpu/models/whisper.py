@@ -316,27 +316,34 @@ def cross_kv(params: Params, audio_states: jnp.ndarray, config: WhisperConfig) -
     return out
 
 
-def init_kv_cache(config: WhisperConfig, batch: int, dtype=None) -> list[Params]:
+def init_kv_cache(config: WhisperConfig, batch: int, dtype=None,
+                  max_len: int | None = None) -> list[Params]:
     """Preallocated self-attention KV cache (static shapes for while_loop).
 
     With ``config.kv_bits == 8`` entries are int8 + per-position scales
     (ops/kv_quant.py) — half the storage and per-step read traffic.
+
+    ``max_len`` right-sizes the cache to the decode's real horizon
+    (prompt + sample_len, rounded up to the 128-lane tile): every decode
+    step re-reads the WHOLE cache, so allocating the full n_text_ctx=448
+    when sample_len caps at 224 streams ~43% dead positions per step —
+    and beam search's parent gather rewrites them every step too.
     """
     dtype = dtype or config.dtype
     hd = config.n_text_state // config.n_text_head
-    shape = (batch, config.n_text_head, config.n_text_ctx, hd)
+    t_alloc = config.n_text_ctx if max_len is None else min(
+        -(-max_len // 128) * 128, config.n_text_ctx
+    )
+    shape = (batch, config.n_text_head, t_alloc, hd)
     if config.self_kv_bits == 8:
-        # K/V transposed (time-minor); T padded to the lane tile only when
-        # the opt-in Pallas decode kernel is active (ops/decode_attention.py)
-        # — causality masks the padded tail (positions ≥ n_text_ctx are
-        # never written or attended). The default XLA path reads the cache
-        # unpadded.
+        # K/V transposed (time-minor); T additionally padded to the lane
+        # tile when the opt-in Pallas decode kernel is active
+        # (ops/decode_attention.py) — causality masks the padded tail
+        # (positions ≥ the decode horizon are never written or attended).
         import os
 
         if os.environ.get("WTPU_DECODE_ATTN_KERNEL") == "1":
-            t_alloc = -(-config.n_text_ctx // 128) * 128
-        else:
-            t_alloc = config.n_text_ctx
+            t_alloc = -(-t_alloc // 128) * 128
         kt_shape = (batch, config.n_text_head, hd, t_alloc)
         sshape = (batch, config.n_text_head, t_alloc, 1)
         return [
@@ -375,9 +382,12 @@ def decode_step(
     )
 
     # causal mask offset by cache position: queries at [pos, pos+t) may attend
-    # keys at [0, pos + q_idx].
+    # keys at [0, pos + q_idx]. Length follows the (possibly right-sized)
+    # cache allocation, not n_text_ctx (init_kv_cache max_len).
+    t_cache = (kv_cache[0]["k8t"].shape[3] if "k8t" in kv_cache[0]
+               else kv_cache[0]["k"].shape[2])
     q_idx = jnp.arange(t)[:, None] + pos
-    k_idx = jnp.arange(config.n_text_ctx)[None, :]
+    k_idx = jnp.arange(t_cache)[None, :]
     mask = jnp.where(k_idx <= q_idx, 0.0, -jnp.inf)
 
     new_cache = []
