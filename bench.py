@@ -186,9 +186,9 @@ def main() -> None:
 
     model_name = os.environ.get("BENCH_MODEL", "large-v3")
     # defaults = the measured-best serving config (bench_history.jsonl):
-    # B=48 + int8 cross+self KV + flash encoder = 212 RTF/chip on v5e
-    # (B=64 exhausts the 16 GB HBM)
-    batch = int(os.environ.get("BENCH_BATCH", "48"))
+    # B=56 + int8 cross+self KV + right-sized caches + flash/dense
+    # attention = 251 RTF/chip on v5e (B=64 fits but dips to 247)
+    batch = int(os.environ.get("BENCH_BATCH", "56"))
     sample_len = int(os.environ.get("BENCH_SAMPLE_LEN", "224"))
     reps = int(os.environ.get("BENCH_REPS", "3"))
     use_flash = os.environ.get("BENCH_FLASH", "1") == "1"
