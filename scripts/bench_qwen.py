@@ -49,6 +49,7 @@ def main():
     config = dataclasses.replace(
         qwen.QWEN_CONFIGS[model], dtype=jnp.bfloat16,
         flash_attention=os.environ.get("QB_FLASH", "1") == "1",
+        kv_bits=int(os.environ.get("QB_KV", "0")),
     )
 
     def zeros_params():

@@ -138,3 +138,40 @@ def test_qwen_flash_prefill_matches_xla():
     with mock.patch.object(fa, "flash_attention", interp):
         out, _ = decode_step(params, tokens, jnp.int32(0), cache, cfg_flash)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4, rtol=2e-4)
+
+
+def test_int8_kv_cache_matches_bf16_tokens():
+    """kv_bits=8 (per-position absmax scales folded exactly into attention,
+    models/qwen.py) must pick the same greedy tokens as the fp cache over
+    several steps; logits stay within int8 KV rounding (~1%)."""
+    import dataclasses
+
+    from whisper_mlx_tpu.models import qwen
+
+    cfg = dataclasses.replace(
+        qwen.QWEN_CONFIGS["qwen2.5-7b"], hidden_size=128, intermediate_size=192,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=32, vocab_size=512, dtype=jnp.float32,
+    )
+    cfg8 = dataclasses.replace(cfg, kv_bits=8)
+    params = qwen.init_params(cfg, seed=0)
+    rng = np.random.default_rng(0)
+    toks = jnp.asarray(rng.integers(0, 512, (2, 6)), jnp.int32)
+    l0, c0 = qwen.decode_step(params, toks, jnp.int32(0),
+                              qwen.init_kv_cache(cfg, 2, 32), cfg)
+    l8, c8 = qwen.decode_step(params, toks, jnp.int32(0),
+                              qwen.init_kv_cache(cfg8, 2, 32), cfg8)
+    for step in range(3):
+        nxt0 = jnp.argmax(l0[:, -1], -1).astype(jnp.int32)[:, None]
+        nxt8 = jnp.argmax(l8[:, -1], -1).astype(jnp.int32)[:, None]
+        assert (np.asarray(nxt0) == np.asarray(nxt8)).all()
+        l0, c0 = qwen.decode_step(params, nxt0, jnp.int32(6 + step), c0, cfg)
+        l8, c8 = qwen.decode_step(params, nxt8, jnp.int32(6 + step), c8, cfg8)
+    rel = float(jnp.max(jnp.abs(l0 - l8)) / jnp.max(jnp.abs(l0)))
+    assert rel < 0.05, rel
+
+    # per-row positions (continuous batching) run on the int8 cache too
+    pos = jnp.asarray([2, 5], jnp.int32)
+    lp, _ = qwen.decode_step(params, toks[:, :1], pos, c8, cfg8)
+    assert lp.shape == (2, 1, 512)
+    assert np.isfinite(np.asarray(lp)).all()

@@ -84,12 +84,12 @@ def _prefill_slot(
     every request in the same length bucket), then scatters that row into
     the resident S-row cache.
     """
-    max_len = cache[0]["kt"].shape[3]
+    max_len = cache[0]["kt" if "kt" in cache[0] else "k8t"].shape[3]
     row_cache = init_kv_cache(config, 1, max_len)
     lg, row_cache = decode_step(params, prompt, jnp.int32(0), row_cache, config)
     last = jax.lax.dynamic_slice_in_dim(lg, true_len - 1, 1, axis=1)[0, 0]
     new_cache = [
-        {k: big[k].at[slot].set(row[k][0]) for k in ("kt", "vt")}
+        {k: big[k].at[slot].set(row[k][0]) for k in big}
         for big, row in zip(cache, row_cache)
     ]
     return (

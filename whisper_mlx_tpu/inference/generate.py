@@ -181,6 +181,15 @@ class LLMEngine:
     def __init__(self, params: Params, config: QwenConfig, tokenizer,
                  max_context: int = 4096,
                  draft: "tuple[Params, QwenConfig] | None" = None):
+        import dataclasses
+        import os
+
+        # int8 KV cache opt-in (WTPU_LLM_KV_BITS=8): halves KV HBM traffic
+        # and doubles context per chip at ~1% logit perturbation
+        # (models/qwen.py kv_bits; exact scale-folded attention)
+        kv_bits = int(os.environ.get("WTPU_LLM_KV_BITS", "0"))
+        if kv_bits and config.kv_bits != kv_bits:
+            config = dataclasses.replace(config, kv_bits=kv_bits)
         self.params = params
         self.config = config
         self.tokenizer = tokenizer

@@ -46,6 +46,11 @@ class QwenConfig:
     # start at pos == 0 (all in-repo callers do); continuing prefill over an
     # existing cache needs the XLA path.
     flash_attention: bool = False
+    # int8 KV cache (per-position absmax scales, exactly folded into the
+    # attention algebra — same scheme as the whisper decoder,
+    # ops/kv_quant.py): halves KV HBM traffic and doubles context per
+    # chip. 0 = bf16 (bit-exact decode; the default).
+    kv_bits: int = 0
     dtype: Any = jnp.float32
 
     @property
@@ -126,10 +131,18 @@ def init_kv_cache(config: QwenConfig, batch: int, max_len: int, dtype=None):
     The decode-step attention einsums then contract over the minor lane
     axis — measured +16–23% end-to-end RTF on the whisper decoder with the
     same change (bench_history.jsonl r2); the LLM decode loop has the same
-    per-step cache-streaming shape.
+    per-step cache-streaming shape. ``config.kv_bits == 8`` stores int8
+    entries + per-(b, kv, t) scales.
     """
     dtype = dtype or config.dtype
     shape = (batch, config.num_key_value_heads, config.hd, max_len)
+    if config.kv_bits == 8:
+        sshape = (batch, config.num_key_value_heads, max_len, 1)
+        return [
+            {"k8t": jnp.zeros(shape, jnp.int8), "ks": jnp.zeros(sshape, jnp.float32),
+             "v8t": jnp.zeros(shape, jnp.int8), "vs": jnp.zeros(sshape, jnp.float32)}
+            for _ in range(config.num_hidden_layers)
+        ]
     return [
         {"kt": jnp.zeros(shape, dtype), "vt": jnp.zeros(shape, dtype)}
         for _ in range(config.num_hidden_layers)
@@ -151,7 +164,7 @@ def decode_step(
     per-row causal mask, and a vmapped per-row cache scatter.
     """
     b, t = tokens.shape
-    max_len = kv_cache[0]["kt"].shape[3]
+    max_len = kv_cache[0]["kt" if "kt" in kv_cache[0] else "k8t"].shape[3]
     per_row = getattr(pos, "ndim", 0) == 1
     H, KV, hd = config.num_attention_heads, config.num_key_value_heads, config.hd
     x = params["embed"].astype(config.dtype)[tokens] if type(params["embed"]).__name__ != "QuantTensor" else None
@@ -197,18 +210,52 @@ def decode_step(
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
 
-        kT = jnp.swapaxes(k, 2, 3).astype(kv_cache[i]["kt"].dtype)  # (b,KV,hd,t)
-        vT = jnp.swapaxes(v, 2, 3).astype(kv_cache[i]["vt"].dtype)
-        if per_row:
-            scatter = jax.vmap(
-                lambda c, u, p: jax.lax.dynamic_update_slice_in_dim(c, u, p, axis=2)
-            )
-            kt_full = scatter(kv_cache[i]["kt"], kT, pos)
-            vt_full = scatter(kv_cache[i]["vt"], vT, pos)
+        if config.kv_bits == 8:
+            from whisper_mlx_tpu.ops.kv_quant import quantize_kv
+
+            k8, ks_new = quantize_kv(k)  # (b,KV,t,hd) int8 + (b,KV,t,1)
+            v8, vs_new = quantize_kv(v)
+            kT = jnp.swapaxes(k8, 2, 3)  # (b,KV,hd,t)
+            vT = jnp.swapaxes(v8, 2, 3)
+            if per_row:
+                sc3 = jax.vmap(
+                    lambda c, u, p: jax.lax.dynamic_update_slice_in_dim(c, u, p, axis=2)
+                )
+                sc1 = jax.vmap(
+                    lambda c, u, p: jax.lax.dynamic_update_slice_in_dim(c, u, p, axis=1)
+                )
+                entry = {
+                    "k8t": sc3(kv_cache[i]["k8t"], kT, pos),
+                    "ks": sc1(kv_cache[i]["ks"], ks_new, pos),
+                    "v8t": sc3(kv_cache[i]["v8t"], vT, pos),
+                    "vs": sc1(kv_cache[i]["vs"], vs_new, pos),
+                }
+            else:
+                upd3 = lambda c, u: jax.lax.dynamic_update_slice_in_dim(c, u, pos, axis=3)
+                upd2 = lambda c, u: jax.lax.dynamic_update_slice_in_dim(c, u, pos, axis=2)
+                entry = {
+                    "k8t": upd3(kv_cache[i]["k8t"], kT),
+                    "ks": upd2(kv_cache[i]["ks"], ks_new),
+                    "v8t": upd3(kv_cache[i]["v8t"], vT),
+                    "vs": upd2(kv_cache[i]["vs"], vs_new),
+                }
+            new_cache.append(entry)
+            kt_full, vt_full = entry["k8t"], entry["v8t"]
+            kv_scales = (entry["ks"], entry["vs"])
         else:
-            kt_full = jax.lax.dynamic_update_slice_in_dim(kv_cache[i]["kt"], kT, pos, axis=3)
-            vt_full = jax.lax.dynamic_update_slice_in_dim(kv_cache[i]["vt"], vT, pos, axis=3)
-        new_cache.append({"kt": kt_full, "vt": vt_full})
+            kT = jnp.swapaxes(k, 2, 3).astype(kv_cache[i]["kt"].dtype)  # (b,KV,hd,t)
+            vT = jnp.swapaxes(v, 2, 3).astype(kv_cache[i]["vt"].dtype)
+            if per_row:
+                scatter = jax.vmap(
+                    lambda c, u, p: jax.lax.dynamic_update_slice_in_dim(c, u, p, axis=2)
+                )
+                kt_full = scatter(kv_cache[i]["kt"], kT, pos)
+                vt_full = scatter(kv_cache[i]["vt"], vT, pos)
+            else:
+                kt_full = jax.lax.dynamic_update_slice_in_dim(kv_cache[i]["kt"], kT, pos, axis=3)
+                vt_full = jax.lax.dynamic_update_slice_in_dim(kv_cache[i]["vt"], vT, pos, axis=3)
+            new_cache.append({"kt": kt_full, "vt": vt_full})
+            kv_scales = None
 
         rep = H // KV
         scale = 1.0 / math.sqrt(hd)
@@ -234,11 +281,24 @@ def decode_step(
             # fuse it. The einsum shares each KV head across its rep query
             # heads directly, contracting over the minor (lane) axis.
             q5 = q.reshape(b, KV, rep, t, hd)
-            scores = jnp.einsum("bgrqd,bgdk->bgrqk", q5, kt_full) * scale
-            scores = scores.astype(jnp.promote_types(scores.dtype, jnp.float32))
-            scores = scores + (mask[:, None] if per_row else mask)
-            w = jax.nn.softmax(scores, axis=-1).astype(vt_full.dtype)
-            attn = jnp.einsum("bgrqk,bgdk->bgrqd", w, vt_full)
+            if kv_scales is not None:  # int8 cache: fold scales exactly
+                ks_f, vs_f = kv_scales
+                scores = jnp.einsum(
+                    "bgrqd,bgdk->bgrqk", q5.astype(jnp.float32),
+                    kt_full.astype(jnp.float32),
+                ) * (ks_f[..., 0][:, :, None, None, :] * scale)
+                scores = scores + (mask[:, None] if per_row else mask)
+                w = jax.nn.softmax(scores, axis=-1)
+                w = w * vs_f[..., 0][:, :, None, None, :]
+                attn = jnp.einsum("bgrqk,bgdk->bgrqd", w,
+                                  vt_full.astype(jnp.float32))
+            else:
+                scores = jnp.einsum("bgrqd,bgdk->bgrqk", q5, kt_full) * scale
+                scores = scores.astype(jnp.promote_types(scores.dtype, jnp.float32))
+                scores = scores + (mask[:, None] if per_row else mask)
+                w = jax.nn.softmax(scores, axis=-1).astype(vt_full.dtype)
+                attn = jnp.einsum("bgrqk,bgdk->bgrqd", w, vt_full)
+            attn = attn.astype(config.dtype)
             attn = attn.reshape(b, H, t, hd).transpose(0, 2, 1, 3).reshape(b, t, H * hd)
         x = x + _linear(attn, blk["attn"]["o"])
 
