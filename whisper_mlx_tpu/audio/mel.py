@@ -132,11 +132,18 @@ def _frame_signal(audio: jnp.ndarray, n_fft: int, hop: int) -> jnp.ndarray:
     pad = n_fft // 2
     padded = jnp.pad(audio, ((pad, pad),), mode="reflect")
     num_frames = 1 + (padded.shape[0] - n_fft) // hop
-    # Gather-free framing: as_strided is unavailable in JAX, but a reshape of
-    # a dynamic_slice grid is; XLA lowers this to an efficient gather.
-    starts = jnp.arange(num_frames) * hop
-    idx = starts[:, None] + jnp.arange(n_fft)[None, :]
-    return padded[idx]
+    # Gather-free framing: an advanced-index gather of (frames, n_fft)
+    # positions degenerates on TPU for long audio (minutes for a 5-min
+    # clip). Instead decompose into hop-aligned blocks: frame i =
+    # rows [i, i+K) of the (n, hop) reshape, built as K shifted row-slices
+    # concatenated along lanes — pure reshape/slice/concat, zero gathers,
+    # bit-identical values.
+    k_blocks = -(-n_fft // hop)  # ceil: 3 for (400, 160)
+    n_rows = num_frames + k_blocks
+    ext = jnp.pad(padded, ((0, n_rows * hop - padded.shape[0]),))
+    rows = ext.reshape(n_rows, hop)
+    parts = [rows[k : k + num_frames] for k in range(k_blocks)]
+    return jnp.concatenate(parts, axis=1)[:, :n_fft]
 
 
 def stft_power(audio: jnp.ndarray, n_fft: int = N_FFT, hop: int = HOP_LENGTH) -> jnp.ndarray:
