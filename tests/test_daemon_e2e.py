@@ -118,6 +118,22 @@ def test_profiles_endpoints(daemon):
     assert exc.value.code == 404
 
 
+def test_profile_tools_route(daemon):
+    """Reference wire contract (daemon/server.py:549-563): a bare JSON
+    array of ToolInfo {name, description, parameters} per profile tool."""
+    status, body = _get("/v1/profiles/mirror/tools")
+    assert status == 200
+    assert isinstance(body, list) and len(body) == 9
+    names = {t["name"] for t in body}
+    assert "run_python" in names and "lookup_user" in names
+    for info in body:
+        assert set(info) == {"name", "description", "parameters"}
+        assert info["parameters"]["type"] == "object"
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        _get("/v1/profiles/nope/tools")
+    assert exc.value.code == 404
+
+
 def test_tools_endpoints(daemon):
     _, body = _get("/v1/tools")
     assert len(body["tools"]) == 24

@@ -71,6 +71,48 @@ def test_transcribe_batched_mode(tiny):
     assert starts == sorted(starts)
 
 
+def test_batched_ladder_redecodes_only_pending(tiny, monkeypatch):
+    """VERDICT r2 item 6: retry rungs of the batched temperature-fallback
+    ladder must decode ONLY the still-pending windows, not the whole chunk.
+
+    A decode spy forces window 1 to fail the logprob check at t=0; the
+    second rung must then see a 1-row batch holding window 1's states, and
+    windows 0/2 must keep their (deterministic) t=0 results."""
+    import whisper_mlx_tpu.inference.transcribe as tr
+
+    params, config, tok = tiny
+    audio = make_speechy_audio(seconds=70.0)  # 3 windows
+
+    calls: list[dict] = []
+    real_decode = tr.decode
+
+    def spy(params_, states, tokenizer_, config_, options, **kw):
+        results = real_decode(params_, states, tokenizer_, config_, options, **kw)
+        fp = np.asarray(states[:, 0, :2])  # per-row fingerprint
+        calls.append({"batch": states.shape[0], "t": options.temperature, "fp": fp})
+        if options.temperature == 0.0 and states.shape[0] == 4:
+            results[1].avg_logprob = -2e6  # force window 1 onto the ladder
+        return results
+
+    # threshold far below any real random-weight logprob: only the spy-forced
+    # window fails rung 0, so rung 1 must shrink to that single window
+    monkeypatch.setattr(tr, "decode", spy)
+    result = tr.transcribe(
+        audio, params=params, config=config, tokenizer=tok,
+        temperature=(0.0, 0.2), logprob_threshold=-1e6,
+        compression_ratio_threshold=None, no_speech_threshold=None,
+        batch_windows=True, window_batch_size=4, verbose=False,
+    )
+    assert [c["batch"] for c in calls] == [4, 1]  # full rung, then pending-only
+    assert calls[1]["t"] == 0.2
+    # the retry rung decoded exactly window 1's encoder states
+    np.testing.assert_array_equal(calls[1]["fp"][0], calls[0]["fp"][1])
+    # windows 0 and 2 keep t=0 results; window 1 carries the retry temperature
+    temps = {seg["seek"] // 3000: seg["temperature"] for seg in result["segments"]}
+    for w, t in temps.items():
+        assert t == (0.2 if w == 1 else 0.0)
+
+
 def test_writers(tiny, tmp_path):
     from whisper_mlx_tpu.inference.writers import get_writer
 

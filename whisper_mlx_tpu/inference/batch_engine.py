@@ -344,3 +344,16 @@ class ContinuousBatchEngine:
             if in_flight is not None:
                 drain(in_flight)
             in_flight = next_flight
+
+        # shutdown: the one-step pipeline lag may hold a computed token
+        # batch — deliver it, then close every remaining consumer so a
+        # thread blocked in RequestHandle.result_text() never hangs.
+        if in_flight is not None:
+            drain(in_flight)
+        for i in range(self.slots):
+            self._finish(i)
+        while True:  # never-admitted requests also get a closing sentinel
+            try:
+                self._pending.get_nowait().out.put(None)
+            except queue.Empty:
+                break

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import os
 from functools import partial
 from typing import Any
 
@@ -32,6 +33,12 @@ import jax.numpy as jnp
 import numpy as np
 
 Params = dict[str, Any]
+
+# The Pallas decode-attention kernel opt-in is read from the environment
+# ONCE at import so cache layout (cross_kv / init_kv_cache T-padding) and
+# kernel selection (ops/kv_quant.py) make one consistent static decision —
+# flipping the env mid-process can otherwise desync jit retraces (ADVICE r2).
+_DECODE_ATTN_KERNEL_DEFAULT = os.environ.get("WTPU_DECODE_ATTN_KERNEL") == "1"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -57,6 +64,10 @@ class WhisperConfig:
     # int8 self-attention KV cache (smaller win; separate flag so each can
     # be benched/validated independently)
     self_kv_bits: int = 0
+    # fused Pallas decode-attention kernel (ops/decode_attention.py) — one
+    # static decision threaded to cache layout AND kernel selection; default
+    # comes from WTPU_DECODE_ATTN_KERNEL read once at import
+    decode_attn_kernel: bool = _DECODE_ATTN_KERNEL_DEFAULT
 
     @property
     def head_dim(self) -> int:
@@ -281,8 +292,6 @@ def cross_kv(params: Params, audio_states: jnp.ndarray, config: WhisperConfig) -
     head_dim**-0.25, matching the attention convention) and values are
     stored int8 with per-position scales (ops/kv_quant.py).
     """
-    import os
-
     out = []
     scale = (config.n_text_state // config.n_text_head) ** -0.25
     # K AND V are cached transposed (time-minor); when the opt-in Pallas
@@ -291,7 +300,7 @@ def cross_kv(params: Params, audio_states: jnp.ndarray, config: WhisperConfig) -
     # per-step padding copies (ops/decode_attention.py) — the tail is
     # masked via valid_len. The default XLA einsum path needs no padding,
     # and padding would cost it extra traffic.
-    use_kernel = os.environ.get("WTPU_DECODE_ATTN_KERNEL") == "1"
+    use_kernel = config.decode_attn_kernel
     for blk in params["decoder"]["blocks"]:
         k = _split_heads(linear(audio_states, blk["cross_attn"]["k"]), config.n_text_head)
         v = _split_heads(linear(audio_states, blk["cross_attn"]["v"]), config.n_text_head)
@@ -340,9 +349,7 @@ def init_kv_cache(config: WhisperConfig, batch: int, dtype=None,
         # tile when the opt-in Pallas decode kernel is active
         # (ops/decode_attention.py) — causality masks the padded tail
         # (positions ≥ the decode horizon are never written or attended).
-        import os
-
-        if os.environ.get("WTPU_DECODE_ATTN_KERNEL") == "1":
+        if config.decode_attn_kernel:
             t_alloc = -(-t_alloc // 128) * 128
         kt_shape = (batch, config.n_text_head, hd, t_alloc)
         sshape = (batch, config.n_text_head, t_alloc, 1)
@@ -413,7 +420,7 @@ def decode_step(
             new_cache.append(entry)
             attn_out = attention_int8_auto(
                 q * scale, entry["k8t"], entry["ks"], entry["v8t"], entry["vs"],
-                pos=pos, causal=True,
+                pos=pos, causal=True, kernel=config.decode_attn_kernel,
             )
         else:
             k = jax.lax.dynamic_update_slice_in_dim(kv_cache[i]["k"], k_new, pos, axis=2)
@@ -456,6 +463,7 @@ def decode_step(
             cross_out = attention_int8_auto(
                 qx * scale, xkv[i]["k8t"], xkv[i]["ks"], xkv[i]["v8t"],
                 xkv[i]["vs"], valid_len=config.n_audio_ctx,
+                kernel=config.decode_attn_kernel,
             )
             cw = None
         else:

@@ -207,8 +207,8 @@ def decode_attention_int8(
                     pl.BlockSpec((bh_tile, hd), lambda i, *_: (i, 0)),
                     pl.BlockSpec((bh_tile, Tk), lambda i, *_: (i, 0)),
                     pl.BlockSpec((bh_tile, Tk), lambda i, *_: (i, 0)),
-                    pl.BlockSpec(memory_space=pltpu.ANY),  # kt (BH·hd, Tk)
-                    pl.BlockSpec(memory_space=pltpu.ANY),  # vt
+                    pl.BlockSpec(memory_space=pl.ANY),  # kt (BH·hd, Tk)
+                    pl.BlockSpec(memory_space=pl.ANY),  # vt
                 ],
                 out_specs=pl.BlockSpec((bh_tile, hd), lambda i, *_: (i, 0)),
                 scratch_shapes=[

@@ -15,8 +15,11 @@ per-(head, position) scales — no dequantized K/V are ever materialized:
 
 So attention over int8 KV is EXACT attention over the dequantized values —
 the only error is the int8 rounding of K/V themselves (absmax/127 per
-position). Enabled via ``WhisperConfig.kv_bits=8`` for the cross cache;
-off by default pending WER validation on real checkpoints.
+position). Enabled via ``WhisperConfig.kv_bits=8`` for the cross cache.
+This IS the default serving/bench configuration (bench.py, __graft_entry__
+entry()); golden-token/parity tests run with ``kv_bits=0`` fp caches. The
+offline token-divergence study bounding the int8 effect is in
+docs/kv_quant_study.md (scripts/study_kv_divergence.py).
 """
 
 from __future__ import annotations
@@ -43,6 +46,7 @@ def attention_int8_auto(
     pos: jnp.ndarray | int = 0,
     causal: bool = False,
     valid_len: int | None = None,
+    kernel: bool = False,
 ) -> jnp.ndarray:
     """Decode attention over int8 KV: fused Pallas kernel on TPU, XLA
     einsum fallback elsewhere (tests run the CPU mesh; kernel parity is
@@ -54,17 +58,15 @@ def attention_int8_auto(
     cache); causal=False attends keys [0, valid_len) (cross-attention over
     a 128-padded cache).
 
-    The Pallas kernel is opt-in (WTPU_DECODE_ATTN_KERNEL=1): in isolation it
-    matches the XLA einsum (~300 GB/s effective on v5e), but end-to-end it
-    measured 9% SLOWER — inside the jitted step XLA overlaps the attention
-    einsum with prefetching the next layer's weights, which an opaque
-    pallas_call blocks (bench_history.jsonl r2; scripts/
-    bench_decode_attention.py).
+    The Pallas kernel is opt-in (``kernel=True``, threaded from
+    ``WhisperConfig.decode_attn_kernel`` — one static decision shared with
+    the cache T-padding in models/whisper.py): in isolation it matches the
+    XLA einsum (~300 GB/s effective on v5e), but end-to-end it measured 9%
+    SLOWER — inside the jitted step XLA overlaps the attention einsum with
+    prefetching the next layer's weights, which an opaque pallas_call
+    blocks (bench_history.jsonl r2; scripts/bench_decode_attention.py).
     """
-    import os
-
-    if (jax.default_backend() == "tpu"
-            and os.environ.get("WTPU_DECODE_ATTN_KERNEL") == "1"):
+    if kernel and jax.default_backend() == "tpu":
         from whisper_mlx_tpu.ops.decode_attention import decode_attention_int8
 
         return decode_attention_int8(q, k8t, k_scale, v8t, v_scale,

@@ -58,7 +58,8 @@ def _quant_matmul_kernel(x_ref, xg_ref, wq_ref, scales_ref, biases_ref, out_ref,
     """
     compute = jnp.bfloat16 if x_ref.dtype == jnp.bfloat16 else jnp.float32
     x = x_ref[:]  # (M, K) planar
-    xg = xg_ref[:].astype(compute)  # (M, G) group sums of x
+    xg = xg_ref[:]  # (M, G) group sums of x — kept fp32 (tiny buffer); the
+    # bias dot below runs fp32 so the fp32 accumulation is never discarded
     wq = wq_ref[:]  # (TILE_N, Kp) uint32, Kp = K/per_word
     per_word = 32 // bits
     mask = jnp.uint32((1 << bits) - 1)
@@ -87,8 +88,8 @@ def _quant_matmul_kernel(x_ref, xg_ref, wq_ref, scales_ref, biases_ref, out_ref,
         dimension_numbers=(((1,), (1,)), ((), ())),  # x @ w.T
         preferred_element_type=jnp.float32,
     )
-    acc = acc + jax.lax.dot_general(  # bias term: xg @ biases.T
-        xg, biases_ref[:].astype(compute),
+    acc = acc + jax.lax.dot_general(  # bias term: xg @ biases.T, all fp32
+        xg, biases_ref[:].astype(jnp.float32),
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
@@ -132,7 +133,7 @@ def quant_matmul_pallas(x: jnp.ndarray, q: QuantTensor, interpret: bool = False)
     xg = x2.astype(jnp.float32).reshape(M, G, group_size).sum(-1)
     x_planar = x2[:, jnp.asarray(_planar_perm(K, per_word))]
     x_pad = jnp.zeros((Mp, K), x2.dtype).at[:M].set(x_planar)
-    xg_pad = jnp.zeros((Mp, G), x2.dtype).at[:M].set(xg.astype(x2.dtype))
+    xg_pad = jnp.zeros((Mp, G), jnp.float32).at[:M].set(xg)
     wq, scales, biases = q.w_q, q.scales, q.biases
     if Np != N:
         wq = jnp.zeros((Np, wq.shape[1]), wq.dtype).at[:N].set(wq)

@@ -8,6 +8,7 @@ Endpoint parity (reference :420-975):
     POST /v1/tools/{name}/invoke         — direct tool execution (no LLM)
     POST /v1/invoke-tool                 — legacy alias
     GET  /v1/profiles, /v1/profiles/{name}
+    GET  /v1/profiles/{name}/tools       — ToolInfo list (reference :549-563)
     POST /v1/chat                        — stateless chat
     POST /v1/sessions                    — create
     GET  /v1/sessions                    — summaries
@@ -202,6 +203,22 @@ async def get_profile_handler(request: web.Request) -> web.Response:
         return _json(get_profile(request.match_info["name"]).to_dict())
     except ValueError as exc:
         return _error(str(exc), 404)
+
+
+async def get_profile_tools(request: web.Request) -> web.Response:
+    """Reference wire contract ``daemon/server.py:549-563``: a bare JSON
+    array of ToolInfo {name, description, parameters} for the profile."""
+    try:
+        profile = get_profile(request.match_info["name"])
+    except ValueError as exc:
+        return _error(str(exc), 404)
+    registry = get_registry()
+    infos = []
+    for tool_name in profile.tools:
+        t = registry.get(tool_name)
+        if t is not None:
+            infos.append(t.spec.to_dict())
+    return _json(infos)
 
 
 def _queue_stats(was_queued: bool, wait_ms: float, position: int) -> dict[str, Any]:
@@ -608,6 +625,7 @@ def create_app(preload: bool = False, whisper_model: str | None = None,
     app.router.add_post("/v1/invoke-tool", invoke_tool)
     app.router.add_get("/v1/profiles", list_profiles)
     app.router.add_get("/v1/profiles/{name}", get_profile_handler)
+    app.router.add_get("/v1/profiles/{name}/tools", get_profile_tools)
     app.router.add_post("/v1/chat", stateless_chat)
     app.router.add_post("/v1/sessions", create_session)
     app.router.add_get("/v1/sessions", list_sessions)
