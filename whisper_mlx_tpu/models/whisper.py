@@ -58,8 +58,9 @@ class WhisperConfig:
     # encoder attention via the Pallas flash kernel (ops/flash_attention.py);
     # avoids materializing (B, H, 1500, 1500) score tensors
     flash_attention: bool = False
-    # int8 cross-attention KV cache (ops/kv_quant.py): halves the dominant
-    # decode HBM traffic + doubles window-batch capacity; 0 = bf16/fp
+    # quantized cross-attention KV cache (ops/kv_quant.py): 8 = int8
+    # (halves the dominant decode HBM traffic), 4 = native int4 (quarters
+    # it; divergence bounds in docs/kv_quant_study.md); 0 = bf16/fp
     kv_bits: int = 0
     # int8 self-attention KV cache (smaller win; separate flag so each can
     # be benched/validated independently)
@@ -288,9 +289,10 @@ def cross_kv(params: Params, audio_states: jnp.ndarray, config: WhisperConfig) -
 
     The reference's MLX decoder recomputes K/V lazily per layer; on TPU we
     hoist it out of the token loop entirely — it is a pure function of the
-    encoder output. With ``config.kv_bits == 8`` the keys (pre-scaled by
-    head_dim**-0.25, matching the attention convention) and values are
-    stored int8 with per-position scales (ops/kv_quant.py).
+    encoder output. With ``config.kv_bits`` 8 (int8) or 4 (native int4)
+    the keys (pre-scaled by head_dim**-0.25, matching the attention
+    convention) and values are stored quantized with per-position scales
+    (ops/kv_quant.py).
     """
     out = []
     scale = (config.n_text_state // config.n_text_head) ** -0.25
@@ -304,11 +306,11 @@ def cross_kv(params: Params, audio_states: jnp.ndarray, config: WhisperConfig) -
     for blk in params["decoder"]["blocks"]:
         k = _split_heads(linear(audio_states, blk["cross_attn"]["k"]), config.n_text_head)
         v = _split_heads(linear(audio_states, blk["cross_attn"]["v"]), config.n_text_head)
-        if config.kv_bits == 8:
+        if config.kv_bits in (4, 8):
             from whisper_mlx_tpu.ops.kv_quant import quantize_kv
 
-            k8, ks = quantize_kv(k * scale)
-            v8, vs = quantize_kv(v)
+            k8, ks = quantize_kv(k * scale, bits=config.kv_bits)
+            v8, vs = quantize_kv(v, bits=config.kv_bits)
             t = k8.shape[2]
             t_pad = (-t % 128) if use_kernel else 0
             k8t = jnp.swapaxes(k8, 2, 3)

@@ -28,13 +28,18 @@ import jax
 import jax.numpy as jnp
 
 
-def quantize_kv(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """(b, h, t, d) float → int8 values + per-(b,h,t) fp32 scales."""
+def quantize_kv(x: jnp.ndarray, bits: int = 8) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(b, h, t, d) float → int values + per-(b,h,t) fp32 scales.
+
+    bits=8 → int8 (absmax/127); bits=4 → NATIVE ``jnp.int4`` (absmax/7,
+    XLA packs two nibbles per byte in HBM — halves the dominant decode
+    stream again; divergence bounds in docs/kv_quant_study.md)."""
     x32 = x.astype(jnp.float32)
     absmax = jnp.max(jnp.abs(x32), axis=-1, keepdims=True)  # (b, h, t, 1)
-    scale = jnp.maximum(absmax / 127.0, 1e-8)
-    q = jnp.clip(jnp.round(x32 / scale), -127, 127).astype(jnp.int8)
-    return q, scale
+    qmax = 127.0 if bits == 8 else 7.0
+    scale = jnp.maximum(absmax / qmax, 1e-8)
+    q = jnp.clip(jnp.round(x32 / scale), -qmax, qmax)
+    return q.astype(jnp.int8 if bits == 8 else jnp.int4), scale
 
 
 def attention_int8_auto(
