@@ -186,14 +186,15 @@ def main() -> None:
 
     model_name = os.environ.get("BENCH_MODEL", "large-v3")
     # defaults = the measured-best serving config (bench_history.jsonl):
-    # B=56 + int8 cross+self KV + right-sized caches + flash/dense
-    # attention = 251 RTF/chip on v5e (B=64 fits but dips to 247)
+    # B=56 + int4 cross-KV + int8 self-KV + right-sized caches +
+    # flash/dense attention = 306.6 RTF/chip on v5e. Quality bounds for the
+    # quantized caches: docs/kv_quant_study.md (int4 cross ≈ int8 cross).
     batch = int(os.environ.get("BENCH_BATCH", "56"))
     sample_len = int(os.environ.get("BENCH_SAMPLE_LEN", "224"))
     reps = int(os.environ.get("BENCH_REPS", "3"))
     use_flash = os.environ.get("BENCH_FLASH", "1") == "1"
     quant_bits = int(os.environ.get("BENCH_QUANT", "0"))  # 0=off, 4, 8
-    kv_bits = int(os.environ.get("BENCH_KV", "8"))  # 0=bf16, 8=int8 cross-KV
+    kv_bits = int(os.environ.get("BENCH_KV", "4"))  # 0=bf16, 8/4 = int8/int4 cross-KV
     self_kv = int(os.environ.get("BENCH_SELF_KV", "8"))  # int8 self-KV
     beam = int(os.environ.get("BENCH_BEAM", "0"))  # 0=greedy, N=beam size
 

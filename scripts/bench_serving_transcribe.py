@@ -1,0 +1,155 @@
+"""Hardware bench: the whisper SERVING path — /v1/transcribe through
+runtime/batcher.py (VERDICT r2 item 7; the transcription twin of
+scripts/bench_batch_engine.py).
+
+Spins up the real aiohttp app IN-PROCESS (create_app + AppRunner), injects
+a TranscriptionBatcher over random-shaped large-v3 weights (no checkpoints
+offline; RTF is weight-value-independent), then fires N concurrent HTTP
+clients each POSTing a synthetic WAV. Reports aggregate serving RTF/chip,
+single-request RTF, and the batcher's fill stats — i.e. how much of
+bench.py's raw-pipeline RTF survives the HTTP + cross-request batching
+stack, and how much concurrency multiplies a single caller's rate
+(the reference's single-writer lock pins aggregate == single —
+/root/reference/daemon/server.py:280).
+
+Run on the TPU:  python scripts/bench_serving_transcribe.py
+Knobs: SERVE_CONCURRENCY (default 7), SERVE_AUDIO_S (default 120 s each),
+SERVE_BATCH (batcher window batch, default 56), BENCH_SAMPLE_LEN.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import dataclasses
+import json
+import os
+import struct
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from whisper_mlx_tpu.runtime.platform import ensure_platform  # noqa: E402
+
+ensure_platform()
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+CONCURRENCY = int(os.environ.get("SERVE_CONCURRENCY", "7"))
+AUDIO_S = float(os.environ.get("SERVE_AUDIO_S", "120"))
+BATCH = int(os.environ.get("SERVE_BATCH", "56"))
+SAMPLE_LEN = int(os.environ.get("BENCH_SAMPLE_LEN", "224"))
+PORT = int(os.environ.get("SERVE_PORT", "17997"))
+
+
+def write_wav(path: str, seconds: float) -> None:
+    rng = np.random.default_rng(0)
+    pcm = (np.clip(rng.standard_normal(int(16_000 * seconds)) * 0.1, -1, 1)
+           * 32767).astype("<i2")
+    data = pcm.tobytes()
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+    hdr += b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 16_000, 32_000, 2, 16)
+    hdr += b"data" + struct.pack("<I", len(data))
+    with open(path, "wb") as f:
+        f.write(hdr + data)
+
+
+async def post_json(session, url, body):
+    async with session.post(url, json=body) as resp:
+        assert resp.status == 200, (resp.status, await resp.text())
+        return await resp.json()
+
+
+async def run() -> None:
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/wtpu_xla_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+    import aiohttp
+    from aiohttp import web
+
+    from bench import _zeros_params
+    from whisper_mlx_tpu.decoding.task import DecodingOptions
+    from whisper_mlx_tpu.decoding.tokenizer import (
+        ByteLevelBPE, WhisperTokenizer, bytes_to_unicode,
+    )
+    from whisper_mlx_tpu.models.whisper import WHISPER_CONFIGS
+    from whisper_mlx_tpu.runtime.batcher import TranscriptionBatcher
+    from whisper_mlx_tpu.serving.server import create_app
+
+    config = dataclasses.replace(
+        WHISPER_CONFIGS["large-v3"], dtype=jnp.bfloat16,
+        flash_attention=True, kv_bits=8, self_kv_bits=8,
+    )
+    byte_vocab = {c: i for i, c in enumerate(bytes_to_unicode().values())}
+    tok = WhisperTokenizer(ByteLevelBPE(byte_vocab, []), n_base=50257,
+                           num_languages=100)
+    params = _zeros_params(config, jnp.bfloat16)
+
+    app = create_app()
+    app["asr"] = (params, config, tok)
+    app["batcher"] = TranscriptionBatcher(
+        params, config, tok, batch_size=BATCH,
+        decoding=DecodingOptions(sample_len=SAMPLE_LEN, language="en"),
+    )
+    runner = web.AppRunner(app)
+    await runner.setup()
+    site = web.TCPSite(runner, "127.0.0.1", PORT)
+    await site.start()
+
+    with tempfile.NamedTemporaryFile(suffix=".wav", delete=False) as f:
+        wav_path = f.name
+    write_wav(wav_path, AUDIO_S)
+    url = f"http://127.0.0.1:{PORT}/v1/transcribe"
+
+    timeout = aiohttp.ClientTimeout(total=3600)
+    async with aiohttp.ClientSession(timeout=timeout) as session:
+        # warm-up: compile the batch executable once
+        t0 = time.perf_counter()
+        await post_json(session, url, {"path": wav_path})
+        warm_s = time.perf_counter() - t0
+
+        # single-request serving rate
+        t0 = time.perf_counter()
+        r = await post_json(session, url, {"path": wav_path})
+        single_s = time.perf_counter() - t0
+        assert "text" in r and "segments" in r
+
+        # N concurrent requests
+        t0 = time.perf_counter()
+        out = await asyncio.gather(*[
+            post_json(session, url, {"path": wav_path})
+            for _ in range(CONCURRENCY)
+        ])
+        agg_s = time.perf_counter() - t0
+        assert all("segments" in o for o in out)
+
+    stats = app["batcher"].stats
+    await runner.cleanup()
+    os.unlink(wav_path)
+
+    n_dev = jax.device_count()
+    single_rtf = AUDIO_S / single_s / n_dev
+    agg_rtf = CONCURRENCY * AUDIO_S / agg_s / n_dev
+    line = {
+        "metric": "serving_rtf_per_chip_large_v3",
+        "value": round(agg_rtf, 2),
+        "unit": "audio_sec/sec/chip",
+        "vs_baseline": round(agg_rtf / 50.0, 3),
+        "single_request_rtf": round(single_rtf, 2),
+        "concurrency": CONCURRENCY,
+        "audio_s_each": AUDIO_S,
+        "batcher": {"batches": stats["batches"], "windows": stats["windows"],
+                    "mean_fill": round(stats["fill_sum"] / max(stats["batches"], 1), 3)},
+    }
+    print(json.dumps(line))
+    print(f"# warm={warm_s:.1f}s single={single_s:.2f}s agg={agg_s:.2f}s "
+          f"batch={BATCH} sample_len={SAMPLE_LEN}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    asyncio.run(run())

@@ -37,10 +37,14 @@ from whisper_mlx_tpu.ops.kv_quant import attention_int8_auto  # noqa: E402
 
 B = int(os.environ.get("BENCH_BATCH", "56"))
 H, HD, L = 20, 64, 32
+# cross tests run CL layers and scale: the full 32-layer int8+bf16 operand
+# set (6.9 + 13.8 GB) exceeds HBM alongside the compiled buffers
+CL = int(os.environ.get("PROF_CROSS_LAYERS", "8"))
 TK = 1500
 T_SELF = 256
 STEPS = int(os.environ.get("BENCH_SAMPLE_LEN", "224"))
 REPS = int(os.environ.get("PROF_REPS", "3"))
+ONLY = os.environ.get("PROF_ONLY", "")  # comma-separated test filter
 
 jax.config.update("jax_compilation_cache_dir",
                   os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/wtpu_xla_cache"))
@@ -65,75 +69,70 @@ def timeit(name, fn, fetch, note=""):
     return best
 
 
+def want(name: str) -> bool:
+    return not ONLY or name in ONLY.split(",")
+
+
 def main():
     kr = jax.random.PRNGKey(0)
-    ks = [jax.random.fold_in(kr, i) for i in range(4)]
-    xk = jax.random.randint(ks[0], (L, B, H, HD, TK), -127, 127, jnp.int8)
-    xv = jax.random.randint(ks[1], (L, B, H, HD, TK), -127, 127, jnp.int8)
-    xks = jnp.full((L, B, H, TK, 1), 0.01, jnp.float32)
     q0 = jnp.ones((B, H, 1, HD), jnp.bfloat16)
+    # per-layer generation (randint materializes an int32 intermediate 4x
+    # the int8 result — generating the full stack at once OOMs)
+    xk = [jax.random.randint(jax.random.fold_in(kr, i), (B, H, HD, TK),
+                             -127, 127, jnp.int8) for i in range(CL)]
+    xks = [jnp.full((B, H, TK, 1), 0.01, jnp.float32) for _ in range(CL)]
 
-    gb_cross = 2 * L * B * H * HD * TK / 1e9
+    gb_cross = 2 * CL * B * H * HD * TK / 1e9  # K is reused as V (read 2x)
 
     @jax.jit
-    def cross_scan(q0, xk, xv, xks):
+    def cross_scan(q0, xk, xks):
         def step(q, _):
             acc = q
-            for i in range(L):
-                acc = acc + attention_int8_auto(q, xk[i], xks[i], xv[i], xks[i],
+            for i in range(CL):
+                acc = acc + attention_int8_auto(q, xk[i], xks[i], xk[i], xks[i],
                                                 valid_len=TK)
             return acc * jnp.bfloat16(1e-3) + jnp.bfloat16(1.0), None
         out, _ = jax.lax.scan(step, q0, None, length=STEPS)
         return out
 
-    t = timeit("cross_int8_scan", lambda: cross_scan(q0, xk, xv, xks),
-               lambda o: o[0, 0, 0, :1],
-               note=f"{gb_cross:.1f} GB/step x {STEPS}")
-    print(f"#   -> {gb_cross * STEPS / t:.0f} GB/s effective", file=sys.stderr)
+    if want("cross_int8"):
+        t = timeit("cross_int8_scan", lambda: cross_scan(q0, xk, xks),
+                   lambda o: o[0, 0, 0, :1],
+                   note=f"{gb_cross:.1f} GB/step x {STEPS} ({CL}L; x{L // CL} for 32L)")
+        print(f"#   -> {gb_cross * STEPS / t:.0f} GB/s effective; 32L-equiv "
+              f"{t * L / CL:.2f}s", file=sys.stderr)
 
-    @jax.jit
-    def cross_once(q, xk, xv, xks):
-        acc = q
-        for i in range(L):
-            acc = acc + attention_int8_auto(q, xk[i], xks[i], xv[i], xks[i],
-                                            valid_len=TK)
-        return acc
+    if want("cross_bf16"):
+        xkb = [k.astype(jnp.bfloat16) for k in xk]
 
-    def run20():
-        out = None
-        for _ in range(20):
-            out = cross_once(q0, xk, xv, xks)
-        return out
+        @jax.jit
+        def cross_bf16_scan(q0, xkb):
+            def step(q, _):
+                acc = q
+                for i in range(CL):
+                    s = jnp.einsum("bhqd,bhdk->bhqk", q.astype(jnp.float32),
+                                   xkb[i].astype(jnp.float32))
+                    w = jax.nn.softmax(s, axis=-1)
+                    o = jnp.einsum("bhqk,bhdk->bhqd", w, xkb[i].astype(jnp.float32))
+                    acc = acc + o.astype(q.dtype)
+                return acc * jnp.bfloat16(1e-3) + jnp.bfloat16(1.0), None
+            out, _ = jax.lax.scan(step, q0, None, length=STEPS)
+            return out
 
-    t = timeit("cross_int8_20calls", run20, lambda o: o[0, 0, 0, :1],
-               note=f"{gb_cross:.1f} GB/call x 20 dispatches") / 20
-    print(f"#   -> {gb_cross / t:.0f} GB/s effective", file=sys.stderr)
+        t = timeit("cross_bf16_scan", lambda: cross_bf16_scan(q0, xkb),
+                   lambda o: o[0, 0, 0, :1],
+                   note=f"{2 * gb_cross:.1f} GB/step x {STEPS} ({CL}L)")
+        print(f"#   -> {2 * gb_cross * STEPS / t:.0f} GB/s effective; 32L-equiv "
+              f"{t * L / CL:.2f}s", file=sys.stderr)
+        del xkb
 
-    # bf16 cross stream: same algorithm, 2x the bytes, no int8 conversion
-    xkb = xk.astype(jnp.bfloat16)
-    xvb = xv.astype(jnp.bfloat16)
+    if not want("self_int8"):
+        print(json.dumps({"micro": results, "batch": B}))
+        return
 
-    @jax.jit
-    def cross_bf16_scan(q0, xkb, xvb):
-        def step(q, _):
-            acc = q
-            for i in range(L):
-                s = jnp.einsum("bhqd,bhdk->bhqk", q.astype(jnp.float32),
-                               xkb[i].astype(jnp.float32))
-                w = jax.nn.softmax(s, axis=-1)
-                o = jnp.einsum("bhqk,bhdk->bhqd", w, xvb[i].astype(jnp.float32))
-                acc = acc + o.astype(q.dtype)
-            return acc * jnp.bfloat16(1e-3) + jnp.bfloat16(1.0), None
-        out, _ = jax.lax.scan(step, q0, None, length=STEPS)
-        return out
-
-    t = timeit("cross_bf16_scan", lambda: cross_bf16_scan(q0, xkb, xvb),
-               lambda o: o[0, 0, 0, :1],
-               note=f"{2 * gb_cross:.1f} GB/step x {STEPS}")
-    print(f"#   -> {2 * gb_cross * STEPS / t:.0f} GB/s effective", file=sys.stderr)
-
-    # self-attention with per-step cache update (runtime args)
-    sk = jax.random.randint(ks[2], (L, B, H, HD, T_SELF), -127, 127, jnp.int8)
+    # self-attention with per-step cache update (runtime args, full 32L)
+    sk = jax.random.randint(jax.random.fold_in(kr, 99), (L, B, H, HD, T_SELF),
+                            -127, 127, jnp.int8)
     sks = jnp.full((L, B, H, T_SELF, 1), 0.01, jnp.float32)
     gb_self = 2 * L * B * H * HD * T_SELF / 1e9
 

@@ -69,7 +69,9 @@ def main() -> None:
         params = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
 
     cfg_fp = dataclasses.replace(base, kv_bits=0, self_kv_bits=0)
-    cfg_q = dataclasses.replace(base, kv_bits=8, self_kv_bits=8)
+    kv_bits = int(os.environ.get("STUDY_KV_BITS", "8"))
+    self_bits = int(os.environ.get("STUDY_SELF_KV_BITS", str(kv_bits)))
+    cfg_q = dataclasses.replace(base, kv_bits=kv_bits, self_kv_bits=self_bits)
 
     rng = np.random.default_rng(7)
     opts = DecodingOptions(sample_len=sample_len, without_timestamps=False)
@@ -120,6 +122,7 @@ def main() -> None:
 
     report = {
         "model": model_name, "dtype": dtype_name, "windows": total,
+        "kv_bits": kv_bits, "self_kv_bits": self_bits,
         "sample_len": sample_len,
         "exact_match_rate": round(exact / total, 4),
         "first_divergence_step": {

@@ -4,8 +4,12 @@ The reference's beam search (mlx_whisper ``decoding.py`` semantics —
 SURVEY.md §2.1) keeps Python dicts of hypotheses per step. TPU-native
 design (cf. PAPERS.md vectorized beam-search refs): hypotheses live in a
 ``(windows, beam, ctx)`` token buffer, one ``lax.while_loop`` advances all
-windows × beams together, KV caches are gathered along the flattened
-batch axis with the parent indices each step.
+windows × beams together, and the self-KV cache uses INDIRECTION
+addressing — each lane writes its own row; a tiny ``(N*B, T)`` ancestry
+matrix (reordered by parent each step) maps positions to owning lanes
+inside attention (ops/kv_quant.py attention_*_ancestry). The cache itself
+is never gathered/rewritten (the old per-step parent gather re-wrote every
+cache byte at below copy bandwidth — r2's measured beam bottleneck).
 
 Semantics preserved from the reference:
 - candidates enumerated best-first; EOT-ended ones feed a finished pool
@@ -90,8 +94,17 @@ def beam_decode(
     # cross-attention (share_xkv_groups) — replicating them multiplied the
     # decode loop's dominant HBM stream by B.
     xkv = cross_kv(params, audio_states, config)
-    # right-size the cache: the per-step parent gather rewrites ALL of it
     cache = init_kv_cache(config, NB, max_len=n_init + sample_len)
+    t_alloc = (cache[0]["k8t"].shape[3] if "k8t" in cache[0]
+               else cache[0]["k"].shape[2])
+    # indirection-addressed cache (VERDICT r2 item 3): the cache is NEVER
+    # gathered/reordered by parent — each lane writes its own row, and the
+    # ancestry matrix maps (lane, position) → the lane whose row holds that
+    # hypothesis's K/V (ops/kv_quant.py attention_*_ancestry). The old
+    # per-step whole-cache gather read+rewrote every cache byte at well
+    # below copy bandwidth.
+    own_lane = jnp.tile(jnp.arange(B, dtype=jnp.int32), (N,))  # (NB,)
+    anc0 = jnp.tile(own_lane[:, None], (1, t_alloc))  # prefill rows are own
 
     init_flat = jnp.repeat(initial_tokens, B, axis=0)
     logits_all, cache, _ = decode_step(params, init_flat, jnp.int32(0), cache,
@@ -109,6 +122,7 @@ def beam_decode(
         cum_logprob: jnp.ndarray  # (N, B)
         logits: jnp.ndarray  # (N*B, V)
         cache: list
+        anc: jnp.ndarray  # (N*B, t_alloc) ancestry: lane owning each position
         cur_len: jnp.ndarray
         fin_tokens: jnp.ndarray  # (N, P, ctx)
         fin_lengths: jnp.ndarray  # (N, P)
@@ -124,6 +138,7 @@ def beam_decode(
         cum_logprob=cum0,
         logits=last_logits,
         cache=cache,
+        anc=anc0,
         cur_len=jnp.int32(n_init),
         fin_tokens=jnp.zeros((N, P, n_ctx), jnp.int32),
         fin_lengths=jnp.zeros((N, P), jnp.int32),
@@ -202,17 +217,22 @@ def beam_decode(
         tokens = jax.lax.dynamic_update_slice(
             tokens, new_token.reshape(-1, 1), (0, s.cur_len)
         )
-        cache_g = jax.tree.map(lambda c: c[flat_parent], s.cache)
+        # ancestry reorder (tiny (NB, T) int32 gather) replaces the old
+        # whole-cache gather; the new token's K/V will be written by this
+        # lane itself at cur_len
+        anc = s.anc[flat_parent]
+        anc = jax.lax.dynamic_update_slice(anc, own_lane[:, None], (0, s.cur_len))
 
         step_logits, cache_new, _ = decode_step(
-            params, new_token.reshape(-1, 1), s.cur_len, cache_g, xkv, config,
-            share_xkv_groups=B,
+            params, new_token.reshape(-1, 1), s.cur_len, s.cache, xkv, config,
+            share_xkv_groups=B, beam_ancestry=anc,
         )
         return State(
             tokens=tokens,
             cum_logprob=new_cum,
             logits=step_logits[:, -1].astype(jnp.float32),
             cache=cache_new,
+            anc=anc,
             cur_len=s.cur_len + 1,
             fin_tokens=fin_tokens,
             fin_lengths=fin_lengths,

@@ -346,7 +346,7 @@ def init_kv_cache(config: WhisperConfig, batch: int, dtype=None,
         -(-max_len // 128) * 128, config.n_text_ctx
     )
     shape = (batch, config.n_text_head, t_alloc, hd)
-    if config.self_kv_bits == 8:
+    if config.self_kv_bits in (4, 8):
         # K/V transposed (time-minor); T additionally padded to the lane
         # tile when the opt-in Pallas decode kernel is active
         # (ops/decode_attention.py) — causality masks the padded tail
@@ -355,9 +355,10 @@ def init_kv_cache(config: WhisperConfig, batch: int, dtype=None,
             t_alloc = -(-t_alloc // 128) * 128
         kt_shape = (batch, config.n_text_head, hd, t_alloc)
         sshape = (batch, config.n_text_head, t_alloc, 1)
+        qdt = jnp.int8 if config.self_kv_bits == 8 else jnp.int4
         return [
-            {"k8t": jnp.zeros(kt_shape, jnp.int8), "ks": jnp.zeros(sshape, jnp.float32),
-             "v8t": jnp.zeros(kt_shape, jnp.int8), "vs": jnp.zeros(sshape, jnp.float32)}
+            {"k8t": jnp.zeros(kt_shape, qdt), "ks": jnp.zeros(sshape, jnp.float32),
+             "v8t": jnp.zeros(kt_shape, qdt), "vs": jnp.zeros(sshape, jnp.float32)}
             for _ in range(config.n_text_layer)
         ]
     return [
@@ -375,6 +376,7 @@ def decode_step(
     config: WhisperConfig,
     collect_cross_attn: bool = False,
     share_xkv_groups: int = 1,
+    beam_ancestry: jnp.ndarray | None = None,
 ):
     """Run the decoder on ``tokens`` starting at position ``pos``.
 
@@ -382,6 +384,12 @@ def decode_step(
     step (t = 1). Returns logits for the last position of each sequence plus
     the updated cache; optionally the full cross-attention weights stacked as
     (layers, batch, heads, t, 1500) for DTW alignment.
+
+    ``beam_ancestry`` (batch, T_alloc) int32 switches self-attention to
+    indirection addressing (ops/kv_quant.py attention_*_ancestry): beam
+    search never reorders the cache — each lane writes its own row, and
+    ancestry maps (lane, position) → owning lane within the
+    ``share_xkv_groups``-sized window group. Requires t == 1.
     """
     p = params["decoder"]
     b, t = tokens.shape
@@ -404,12 +412,12 @@ def decode_step(
     for i, blk in enumerate(p["blocks"]):
         h = layer_norm(x, blk["attn_ln"])
         q, k_new, v_new = _qkv_proj(h, blk["attn"], config.n_text_head)
-        if config.self_kv_bits == 8:
+        if config.self_kv_bits in (4, 8):
             from whisper_mlx_tpu.ops.kv_quant import attention_int8_auto, quantize_kv
 
             scale = q.shape[-1] ** -0.25
-            k8n, ksn = quantize_kv(k_new * scale)
-            v8n, vsn = quantize_kv(v_new)
+            k8n, ksn = quantize_kv(k_new * scale, bits=config.self_kv_bits)
+            v8n, vsn = quantize_kv(v_new, bits=config.self_kv_bits)
             upd = lambda buf, new: jax.lax.dynamic_update_slice_in_dim(buf, new, pos, axis=2)
             updt = lambda buf, new: jax.lax.dynamic_update_slice_in_dim(
                 buf, jnp.swapaxes(new, 2, 3), pos, axis=3)
@@ -420,15 +428,30 @@ def decode_step(
                 "vs": upd(kv_cache[i]["vs"], vsn),
             }
             new_cache.append(entry)
-            attn_out = attention_int8_auto(
-                q * scale, entry["k8t"], entry["ks"], entry["v8t"], entry["vs"],
-                pos=pos, causal=True, kernel=config.decode_attn_kernel,
-            )
+            if beam_ancestry is not None:
+                from whisper_mlx_tpu.ops.kv_quant import attention_int8_ancestry
+
+                attn_out = attention_int8_ancestry(
+                    q * scale, entry["k8t"], entry["ks"], entry["v8t"],
+                    entry["vs"], beam_ancestry, pos, share_xkv_groups,
+                )
+            else:
+                attn_out = attention_int8_auto(
+                    q * scale, entry["k8t"], entry["ks"], entry["v8t"], entry["vs"],
+                    pos=pos, causal=True, kernel=config.decode_attn_kernel,
+                )
         else:
             k = jax.lax.dynamic_update_slice_in_dim(kv_cache[i]["k"], k_new, pos, axis=2)
             v = jax.lax.dynamic_update_slice_in_dim(kv_cache[i]["v"], v_new, pos, axis=2)
             new_cache.append({"k": k, "v": v})
-            attn_out, _ = attention(q, k, v, mask)
+            if beam_ancestry is not None:
+                from whisper_mlx_tpu.ops.kv_quant import attention_fp_ancestry
+
+                attn_out = attention_fp_ancestry(
+                    q, k, v, beam_ancestry, pos, share_xkv_groups,
+                )
+            else:
+                attn_out, _ = attention(q, k, v, mask)
         x = x + linear(_merge_heads(attn_out), blk["attn"]["o"])
 
         h = layer_norm(x, blk["cross_attn_ln"])

@@ -132,6 +132,88 @@ def attention_int8_grouped(
     return out.astype(q.dtype)
 
 
+def attention_int8_ancestry(
+    q: jnp.ndarray,        # (N*B, h, 1, d) — current-step queries, pre-scaled
+    k8t: jnp.ndarray,      # (N*B, h, d, T) int8/int4 — per-LANE cache, never gathered
+    k_scale: jnp.ndarray,  # (N*B, h, T, 1)
+    v8t: jnp.ndarray,      # (N*B, h, d, T)
+    v_scale: jnp.ndarray,  # (N*B, h, T, 1)
+    ancestry: jnp.ndarray,  # (N*B, T) int32 in [0, B): lane owning each position
+    pos: jnp.ndarray,      # scalar: current write position (causal horizon)
+    groups: int,           # B — beam lanes per window
+) -> jnp.ndarray:
+    """Beam self-attention with INDIRECTION instead of cache reordering.
+
+    Classic vectorized beam search gathers the whole self-KV cache by the
+    parent indices every step (read+rewrite of every byte — and XLA lowers
+    that gather well below copy bandwidth). Here lanes always write their
+    own row and an ``ancestry`` matrix maps (lane, position) → the lane
+    whose row holds that hypothesis's K/V. Scores are computed against ALL
+    ``B`` lanes per window — same HBM bytes (each row is read once, used
+    by every query as an M=B matmul) — and the ancestry one-hot selects the
+    correct lane per position. Math is EXACTLY the gathered attention.
+    """
+    NB, h, tq, d = q.shape
+    T = k8t.shape[3]
+    g = groups
+    n = NB // g
+    q5 = q.reshape(n, g, h, tq, d)
+    k5 = k8t.reshape(n, g, h, d, T)
+    v5 = v8t.reshape(n, g, h, d, T)
+    ks5 = k_scale[..., 0].reshape(n, g, h, T)
+    vs5 = v_scale[..., 0].reshape(n, g, h, T)
+    anc = ancestry.reshape(n, g, T)
+
+    # scores vs every lane: (n, bq, h, q, t, bk)
+    s_all = jnp.einsum("nbhqd,nkhdt->nbhqtk", q5.astype(jnp.float32),
+                       k5.astype(jnp.float32))
+    s_all = s_all * ks5.transpose(0, 2, 3, 1)[:, None, :, None, :, :]
+    sel = (anc[:, :, None, None, :, None]
+           == jnp.arange(g, dtype=anc.dtype)[None, None, None, None, None, :])
+    s = jnp.sum(jnp.where(sel, s_all, 0.0), axis=-1)  # exactly one lane matches
+    valid = jnp.arange(T)[None, None, None, :] <= pos
+    s = jnp.where(valid, s, -jnp.inf)
+    w = jax.nn.softmax(s, axis=-1)  # (n, b, h, q, t)
+    wv = w[..., None] * vs5.transpose(0, 2, 3, 1)[:, None, :, None, :, :]
+    wv = jnp.where(sel, wv, 0.0)
+    out = jnp.einsum("nbhqtk,nkhdt->nbhqd", wv, v5.astype(jnp.float32))
+    return out.reshape(NB, h, tq, d).astype(q.dtype)
+
+
+def attention_fp_ancestry(
+    q: jnp.ndarray,    # (N*B, h, 1, d) — RAW (scaled inside, like attention())
+    k: jnp.ndarray,    # (N*B, h, T, d) — raw cached keys
+    v: jnp.ndarray,    # (N*B, h, T, d)
+    ancestry: jnp.ndarray,  # (N*B, T) int32
+    pos: jnp.ndarray,
+    groups: int,
+) -> jnp.ndarray:
+    """fp-cache twin of :func:`attention_int8_ancestry` (parity/test mode).
+
+    q/k each scaled by ``d**-0.25`` here, matching models.whisper.attention."""
+    NB, h, tq, d = q.shape
+    T = k.shape[2]
+    g = groups
+    n = NB // g
+    scale = d ** -0.25
+    q5 = q.reshape(n, g, h, tq, d)
+    k5 = k.reshape(n, g, h, T, d)
+    v5 = v.reshape(n, g, h, T, d)
+    anc = ancestry.reshape(n, g, T)
+
+    s_all = jnp.einsum("nbhqd,nkhtd->nbhqtk", (q5 * scale).astype(jnp.float32),
+                       (k5 * scale).astype(jnp.float32))
+    sel = (anc[:, :, None, None, :, None]
+           == jnp.arange(g, dtype=anc.dtype)[None, None, None, None, None, :])
+    s = jnp.sum(jnp.where(sel, s_all, 0.0), axis=-1)
+    valid = jnp.arange(T)[None, None, None, :] <= pos
+    s = jnp.where(valid, s, -jnp.inf)
+    w = jax.nn.softmax(s, axis=-1)
+    wv = jnp.where(sel, w[..., None], 0.0)
+    out = jnp.einsum("nbhqtk,nkhtd->nbhqd", wv, v5.astype(jnp.float32))
+    return out.reshape(NB, h, tq, d).astype(q.dtype)
+
+
 def attention_int8_kv(
     q: jnp.ndarray,  # (b, h, tq, d) fp — pre-scaled by head_dim**-0.25
     k8: jnp.ndarray,  # (b, h, tk, d) int8 — quantized pre-scaled keys
