@@ -5,7 +5,13 @@
 {
   description = "whisper-mlx-tpu dev shell";
 
-  inputs.nixpkgs.url = "github:NixOS/nixpkgs/nixos-unstable";
+  # Pinned to the nixos-25.05 release tag for reproducibility (the
+  # reference commits a flake.lock; this build image has no nix binary and
+  # no egress, so a generated lock — whose narHash must be computed from
+  # the fetched tarball — cannot be produced honestly here. A branch-less
+  # ref pin is the closest faithful equivalent: run `nix flake lock` once
+  # on a networked machine to materialize flake.lock from it.)
+  inputs.nixpkgs.url = "github:NixOS/nixpkgs/25.05";
 
   outputs = { self, nixpkgs }:
     let

@@ -91,3 +91,75 @@ def test_int8_kv_beam_search(tiny):
     r = decode(params, mel, tok, cfg8, DecodingOptions(sample_len=8, beam_size=2))
     assert len(r) == 2
     assert all(x.tokens for x in r)
+
+
+def test_ancestry_attention_equals_gathered():
+    """attention_*_ancestry == attention over the parent-gathered cache.
+
+    The beam indirection cache (decoding/beam.py r3) claims exact
+    equivalence to the old whole-cache gather; pin it directly: build a
+    random ancestry (each lane's history maps to arbitrary owning lanes),
+    materialize the gathered per-hypothesis cache it encodes, and compare.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from whisper_mlx_tpu.ops.kv_quant import (
+        attention_fp_ancestry,
+        attention_int8_ancestry,
+        attention_int8_auto,
+    )
+
+    N, B, H, HD, T = 2, 3, 4, 16, 32
+    NB = N * B
+    pos = 20
+    kr = jax.random.PRNGKey(5)
+    q = jax.random.normal(jax.random.fold_in(kr, 0), (NB, H, 1, HD), jnp.float32)
+    k8 = jax.random.randint(jax.random.fold_in(kr, 1), (NB, H, HD, T), -127, 127, jnp.int8)
+    v8 = jax.random.randint(jax.random.fold_in(kr, 2), (NB, H, HD, T), -127, 127, jnp.int8)
+    ks = jax.random.uniform(jax.random.fold_in(kr, 3), (NB, H, T, 1), jnp.float32, 0.01, 0.1)
+    vs = jax.random.uniform(jax.random.fold_in(kr, 4), (NB, H, T, 1), jnp.float32, 0.01, 0.1)
+    anc = jax.random.randint(jax.random.fold_in(kr, 5), (NB, T), 0, B, jnp.int32)
+
+    got = attention_int8_ancestry(q, k8, ks, v8, vs, anc, jnp.int32(pos), B)
+
+    # materialize the gathered cache the ancestry encodes, lane by lane
+    rows = []
+    for n in range(N):
+        for b in range(B):
+            lane = n * B + b
+            src = n * B + np.asarray(anc[lane])  # (T,) flat source lanes
+            rows.append({
+                "k8": np.asarray(k8)[src, :, :, np.arange(T)],  # (T, H, HD)
+                "v8": np.asarray(v8)[src, :, :, np.arange(T)],
+                "ks": np.asarray(ks)[src, :, np.arange(T), :],  # (T, H, 1)
+                "vs": np.asarray(vs)[src, :, np.arange(T), :],
+            })
+    g_k8 = jnp.asarray(np.stack([r["k8"] for r in rows]).transpose(0, 2, 3, 1))
+    g_v8 = jnp.asarray(np.stack([r["v8"] for r in rows]).transpose(0, 2, 3, 1))
+    g_ks = jnp.asarray(np.stack([r["ks"] for r in rows]).transpose(0, 2, 1, 3))
+    g_vs = jnp.asarray(np.stack([r["vs"] for r in rows]).transpose(0, 2, 1, 3))
+    want = attention_int8_auto(q, g_k8, g_ks, g_v8, g_vs, pos=pos, causal=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+    # fp twin (raw-q convention: scales applied inside both paths)
+    from whisper_mlx_tpu.models.whisper import attention
+
+    kf = jax.random.normal(jax.random.fold_in(kr, 6), (NB, H, T, HD), jnp.float32)
+    vf = jax.random.normal(jax.random.fold_in(kr, 7), (NB, H, T, HD), jnp.float32)
+    got_fp = attention_fp_ancestry(q, kf, vf, anc, jnp.int32(pos), B)
+    g_kf, g_vf = [], []
+    for n in range(N):
+        for b in range(B):
+            lane = n * B + b
+            src = n * B + np.asarray(anc[lane])
+            g_kf.append(np.asarray(kf)[src, :, np.arange(T), :])
+            g_vf.append(np.asarray(vf)[src, :, np.arange(T), :])
+    g_kf = jnp.asarray(np.stack(g_kf).transpose(0, 2, 1, 3))
+    g_vf = jnp.asarray(np.stack(g_vf).transpose(0, 2, 1, 3))
+    k_idx = jnp.arange(T)[None, :]
+    mask = jnp.where(k_idx <= pos, 0.0, -jnp.inf)
+    want_fp, _ = attention(q, g_kf, g_vf, mask)
+    np.testing.assert_allclose(np.asarray(got_fp), np.asarray(want_fp),
+                               rtol=2e-5, atol=2e-5)

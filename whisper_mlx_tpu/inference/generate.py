@@ -184,9 +184,10 @@ class LLMEngine:
         import dataclasses
         import os
 
-        # int8 KV cache opt-in (WTPU_LLM_KV_BITS=8): halves KV HBM traffic
-        # and doubles context per chip at ~1% logit perturbation
-        # (models/qwen.py kv_bits; exact scale-folded attention)
+        # quantized KV cache opt-in (WTPU_LLM_KV_BITS=8 or 4): int8 halves /
+        # native-int4 quarters KV HBM, scaling context per chip accordingly
+        # (models/qwen.py kv_bits; exact scale-folded attention; quality
+        # bounds in docs/kv_quant_study.md)
         kv_bits = int(os.environ.get("WTPU_LLM_KV_BITS", "0"))
         if kv_bits and config.kv_bits != kv_bits:
             config = dataclasses.replace(config, kv_bits=kv_bits)

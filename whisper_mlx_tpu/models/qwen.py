@@ -131,16 +131,18 @@ def init_kv_cache(config: QwenConfig, batch: int, max_len: int, dtype=None):
     The decode-step attention einsums then contract over the minor lane
     axis — measured +16–23% end-to-end RTF on the whisper decoder with the
     same change (bench_history.jsonl r2); the LLM decode loop has the same
-    per-step cache-streaming shape. ``config.kv_bits == 8`` stores int8
-    entries + per-(b, kv, t) scales.
+    per-step cache-streaming shape. ``config.kv_bits`` 8/4 stores int8 /
+    native-int4 entries + per-(b, kv, t) scales (int4 quarters KV HBM —
+    4x the context per chip; quality bounds in docs/kv_quant_study.md).
     """
     dtype = dtype or config.dtype
     shape = (batch, config.num_key_value_heads, config.hd, max_len)
-    if config.kv_bits == 8:
+    if config.kv_bits in (4, 8):
+        qdt = jnp.int8 if config.kv_bits == 8 else jnp.int4
         sshape = (batch, config.num_key_value_heads, max_len, 1)
         return [
-            {"k8t": jnp.zeros(shape, jnp.int8), "ks": jnp.zeros(sshape, jnp.float32),
-             "v8t": jnp.zeros(shape, jnp.int8), "vs": jnp.zeros(sshape, jnp.float32)}
+            {"k8t": jnp.zeros(shape, qdt), "ks": jnp.zeros(sshape, jnp.float32),
+             "v8t": jnp.zeros(shape, qdt), "vs": jnp.zeros(sshape, jnp.float32)}
             for _ in range(config.num_hidden_layers)
         ]
     return [
@@ -210,11 +212,11 @@ def decode_step(
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
 
-        if config.kv_bits == 8:
+        if config.kv_bits in (4, 8):
             from whisper_mlx_tpu.ops.kv_quant import quantize_kv
 
-            k8, ks_new = quantize_kv(k)  # (b,KV,t,hd) int8 + (b,KV,t,1)
-            v8, vs_new = quantize_kv(v)
+            k8, ks_new = quantize_kv(k, bits=config.kv_bits)
+            v8, vs_new = quantize_kv(v, bits=config.kv_bits)
             kT = jnp.swapaxes(k8, 2, 3)  # (b,KV,hd,t)
             vT = jnp.swapaxes(v8, 2, 3)
             if per_row:

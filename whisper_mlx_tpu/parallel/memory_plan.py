@@ -157,7 +157,8 @@ def plan_qwen_serving(
     quant_bits: int | None = None,
     group_size: int = 64,
     hbm_budget_bytes: int = 16 * 2**30,  # v5e
-    cache_dtype_bytes: int = 2,  # bf16 KV
+    cache_dtype_bytes: float = 2,  # bf16 KV; 1 = int8, 0.5 = native int4
+    kv_bits: int | None = None,  # overrides cache_dtype_bytes (8 → 1 B, 4 → 0.5 B)
 ) -> MemoryPlan:
     """Memory plan for serving a Qwen config over a tp-way mesh.
 
@@ -175,9 +176,13 @@ def plan_qwen_serving(
     # KV cache per device: layers × 2 × kv_heads × max_len × hd × batch.
     # KV heads are NOT tp-split in the current layout (k/v col-split shards
     # the projection, but the cache batch lives per-request) — count full.
-    kv = (
+    # Quantized caches add per-(kv, t) fp32 scales (models/qwen.py).
+    if kv_bits is not None:
+        cache_dtype_bytes = kv_bits / 8
+    kv = int(
         config.num_hidden_layers * 2 * batch_per_device
-        * config.num_key_value_heads * max_len * config.hd * cache_dtype_bytes
+        * config.num_key_value_heads * max_len
+        * (config.hd * cache_dtype_bytes + (4 if cache_dtype_bytes < 2 else 0))
     )
     return MemoryPlan(
         total_bytes=total,
