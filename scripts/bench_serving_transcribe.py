@@ -83,7 +83,7 @@ async def run() -> None:
 
     config = dataclasses.replace(
         WHISPER_CONFIGS["large-v3"], dtype=jnp.bfloat16,
-        flash_attention=True, kv_bits=8, self_kv_bits=8,
+        flash_attention=True, kv_bits=4, self_kv_bits=8,  # serving default
     )
     byte_vocab = {c: i for i, c in enumerate(bytes_to_unicode().values())}
     tok = WhisperTokenizer(ByteLevelBPE(byte_vocab, []), n_base=50257,

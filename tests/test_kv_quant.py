@@ -163,3 +163,24 @@ def test_ancestry_attention_equals_gathered():
     want_fp, _ = attention(q, g_kf, g_vf, mask)
     np.testing.assert_allclose(np.asarray(got_fp), np.asarray(want_fp),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_int4_kv_decode_matches_shape_and_quality(tiny):
+    """kv_bits=4 (native s4 cross cache): serving default — decodes must
+    stay within the same quality envelope as int8 (docs/kv_quant_study.md)."""
+    params, config, tok, mel = tiny
+    cfg4 = dataclasses.replace(config, kv_bits=4, self_kv_bits=8)
+    r_fp = decode(params, mel, tok, config, DecodingOptions(sample_len=12))
+    r_q = decode(params, mel, tok, cfg4, DecodingOptions(sample_len=12))
+    for a, b in zip(r_fp, r_q):
+        assert abs(a.avg_logprob - b.avg_logprob) < 0.2
+        assert b.tokens, "int4-kv decode empty"
+
+
+def test_int4_kv_beam_search(tiny):
+    """Beam + ancestry cache over the int4 cross / int8 self caches."""
+    params, config, tok, mel = tiny
+    cfg4 = dataclasses.replace(config, kv_bits=4, self_kv_bits=8)
+    r = decode(params, mel, tok, cfg4, DecodingOptions(sample_len=8, beam_size=2))
+    assert len(r) == 2
+    assert all(x.tokens for x in r)
