@@ -255,3 +255,42 @@ def test_tool_calling_agent_round_limit():
         verbose=False, max_tool_rounds=2,
     )
     assert "limit" in agent.run("loop forever")
+
+
+def test_asr_serving_config_applier(monkeypatch):
+    """Checkpoint loaders return the PARITY config; the daemon/CLI apply
+    the measured-best serving config (runtime/serving_config.py). Forced
+    to TPU-mode via env on the CPU backend; QuantTensor scales must stay
+    fp32 (the fused kernel's accuracy contract)."""
+    import jax.numpy as jnp
+
+    from whisper_mlx_tpu.models.whisper import WhisperConfig, init_params
+    from whisper_mlx_tpu.ops.quant import quantize_params
+    from whisper_mlx_tpu.runtime.serving_config import apply_asr_serving_config
+
+    monkeypatch.setenv("WTPU_SERVE_PRECISION", "bfloat16")
+    monkeypatch.setenv("WTPU_SERVE_FLASH", "1")
+    monkeypatch.setenv("WTPU_SERVE_KV", "4")
+    monkeypatch.setenv("WTPU_SERVE_SELF_KV", "8")
+
+    cfg = WhisperConfig(n_mels=80, n_vocab=512, n_audio_state=64,
+                        n_audio_head=4, n_audio_layer=1,
+                        n_text_state=64, n_text_head=4, n_text_layer=1)
+    p2, c2 = apply_asr_serving_config(init_params(cfg, seed=0), cfg)
+    assert (c2.kv_bits, c2.self_kv_bits, c2.flash_attention) == (4, 8, True)
+    assert c2.dtype == jnp.bfloat16
+    assert p2["decoder"]["token_emb"].dtype == jnp.bfloat16
+
+    pq, cq = apply_asr_serving_config(
+        quantize_params(init_params(cfg, seed=0), bits=4), cfg)
+    qt = pq["decoder"]["blocks"][0]["attn"]["q"]["w"]
+    assert type(qt).__name__ == "QuantTensor"
+    assert qt.scales.dtype == jnp.float32  # NOT cast
+
+    # parity mode: no env → CPU backend leaves everything untouched
+    for var in ("WTPU_SERVE_PRECISION", "WTPU_SERVE_FLASH",
+                "WTPU_SERVE_KV", "WTPU_SERVE_SELF_KV"):
+        monkeypatch.delenv(var)
+    p0, c0 = apply_asr_serving_config(init_params(cfg, seed=0), cfg)
+    assert (c0.kv_bits, c0.self_kv_bits, c0.flash_attention) == (0, 0, False)
+    assert c0.dtype == cfg.dtype

@@ -121,6 +121,11 @@ def main(argv: list[str] | None = None) -> int:
         temperature = [temperature]
 
     params, config, tokenizer = load_model(args.model, args.model_dir)
+    # serve at the measured-best config on TPU (bf16 + flash + quantized
+    # KV — docs/performance.md); parity mode elsewhere / via WTPU_SERVE_*
+    from whisper_mlx_tpu.runtime.serving_config import apply_asr_serving_config
+
+    params, config = apply_asr_serving_config(params, config)
 
     from whisper_mlx_tpu.inference.transcribe import transcribe
     from whisper_mlx_tpu.inference.writers import get_writer

@@ -1,0 +1,85 @@
+"""Apply the measured-best ASR serving configuration to a loaded model.
+
+Checkpoint loaders (checkpoint/{hf,quant,openai}_loader.py) return the
+PARITY configuration — fp32 compute, XLA attention, fp KV caches — which
+is what golden-token tests need. Serving wants the measured-best config
+(docs/performance.md: bf16 + flash/dense attention + int4 cross-KV +
+int8 self-KV = 306.6 RTF/chip on v5e; quality bounds in
+docs/kv_quant_study.md). This module flips a loaded (params, config) to
+that configuration — on TPU by default, parity mode elsewhere — so the
+daemon (`--whisper-model`) and the `run`/CLI launchers actually serve at
+the benched speed.
+
+Env knobs (all optional):
+  WTPU_SERVE_PRECISION  bfloat16|float32 (default: bfloat16 on TPU)
+  WTPU_SERVE_FLASH      1|0             (default: 1 on TPU)
+  WTPU_SERVE_KV         4|8|0           (default: 4 on TPU)
+  WTPU_SERVE_SELF_KV    8|4|0           (default: 8 on TPU)
+  WTPU_TRANSCRIBE_BATCH window batch for the serving batcher
+                        (default: 56 on TPU, 8 elsewhere)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Any
+
+
+def _env_int(name: str, default: int) -> int:
+    try:
+        return int(os.environ.get(name, default))
+    except ValueError:
+        return default
+
+
+def serving_batch_size() -> int:
+    import jax
+
+    on_tpu = jax.default_backend() == "tpu"
+    return _env_int("WTPU_TRANSCRIBE_BATCH", 56 if on_tpu else 8)
+
+
+def apply_asr_serving_config(params: Any, config: Any) -> tuple[Any, Any]:
+    """(params, config) → serving-configured (params, config).
+
+    Float weights are cast to the serving dtype; quantized leaves
+    (QuantTensor) and integer arrays are untouched (their scales stay
+    fp32 — the fused kernel's accuracy contract)."""
+    import jax
+    import jax.numpy as jnp
+
+    on_tpu = jax.default_backend() == "tpu"
+    precision = os.environ.get(
+        "WTPU_SERVE_PRECISION", "bfloat16" if on_tpu else "")
+    flash = os.environ.get("WTPU_SERVE_FLASH", "1" if on_tpu else "0") == "1"
+    kv_bits = _env_int("WTPU_SERVE_KV", 4 if on_tpu else 0)
+    self_kv = _env_int("WTPU_SERVE_SELF_KV", 8 if on_tpu else 0)
+
+    new_cfg = dataclasses.replace(
+        config,
+        flash_attention=flash,
+        kv_bits=kv_bits,
+        self_kv_bits=self_kv,
+    )
+    if precision == "bfloat16" and config.dtype != jnp.bfloat16:
+        new_cfg = dataclasses.replace(new_cfg, dtype=jnp.bfloat16)
+
+        def cast(leaf):
+            if hasattr(leaf, "dtype") and leaf.dtype in (jnp.float32, jnp.float16):
+                return leaf.astype(jnp.bfloat16)
+            return leaf
+
+        # QuantTensor is a pytree node; its float children are per-group
+        # scales/biases that must STAY fp32, so walk dicts/lists manually.
+        def walk(node):
+            if type(node).__name__ == "QuantTensor":
+                return node
+            if isinstance(node, dict):
+                return {k: walk(v) for k, v in node.items()}
+            if isinstance(node, list):
+                return [walk(v) for v in node]
+            return cast(node)
+
+        params = walk(params)
+    return params, new_cfg

@@ -648,12 +648,20 @@ def create_app(preload: bool = False, whisper_model: str | None = None,
             state.model_loaded = True
         if whisper_model:
             from whisper_mlx_tpu.cli import load_model
+            from whisper_mlx_tpu.runtime.serving_config import (
+                apply_asr_serving_config, serving_batch_size,
+            )
 
-            app["asr"] = await asyncio.to_thread(load_model, whisper_model, None)
+            params, config, tokenizer = await asyncio.to_thread(
+                load_model, whisper_model, None)
+            # loaders return the PARITY config; serve the measured-best one
+            # (bf16 + flash + quantized KV on TPU — docs/performance.md)
+            params, config = apply_asr_serving_config(params, config)
+            app["asr"] = (params, config, tokenizer)
             from whisper_mlx_tpu.runtime.batcher import TranscriptionBatcher
 
-            params, config, tokenizer = app["asr"]
-            app["batcher"] = TranscriptionBatcher(params, config, tokenizer)
+            app["batcher"] = TranscriptionBatcher(
+                params, config, tokenizer, batch_size=serving_batch_size())
         try:
             from whisper_mlx_tpu.serving.sync.scheduler import start_scheduler
 
