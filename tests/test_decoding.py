@@ -163,3 +163,42 @@ def test_english_only_layout():
     # layout collapses: translate/transcribe right after sot
     assert tok.translate == tok.sot + 1
     assert tok.timestamp_begin == tok.no_timestamps + 1
+
+
+@pytest.mark.parametrize("self_kv_bits", [0, 8])
+def test_two_phase_cache_growth_equivalence(tiny_model, self_kv_bits):
+    """The two-phase (growing) self-KV cache is token-identical to the
+    single-allocation decode: phase 1 runs over a 128-position cache and is
+    copied into the full-horizon allocation when the write position reaches
+    it (decoding/greedy.py). The dead-position tail only ever contributes
+    masked -inf scores, so the math is identical — this pins it."""
+    import dataclasses
+
+    from whisper_mlx_tpu.decoding.filters import FilterConfig, make_suppress_mask
+    from whisper_mlx_tpu.decoding.greedy import greedy_decode
+    from whisper_mlx_tpu.decoding.task import _resolve_suppress, build_initial_tokens
+
+    params, config, tok, mel = tiny_model
+    config = dataclasses.replace(config, self_kv_bits=self_kv_bits)
+    audio_states = encode(params, mel, config)
+    opts = DecodingOptions(sample_len=200)
+    init_tokens, sot_index, sample_begin = build_initial_tokens(tok, opts, config.n_text_ctx)
+    always_np, begin_np = make_suppress_mask(
+        config.n_vocab, _resolve_suppress(opts, tok),
+        tuple(tok.encode(" ")) + (tok.eot,))
+    filter_cfg = FilterConfig(
+        eot=tok.eot, no_timestamps=tok.no_timestamps,
+        timestamp_begin=tok.timestamp_begin, sample_begin=sample_begin,
+        max_initial_timestamp_index=50, apply_timestamp_rules=True)
+    initial = jnp.tile(jnp.asarray(init_tokens, jnp.int32)[None, :], (2, 1))
+    common = dict(
+        config=config, filter_cfg=filter_cfg, sample_len=200,
+        sot_index=sot_index, no_speech_token=tok.no_speech)
+    args = (params, audio_states, initial, jnp.asarray(always_np),
+            jnp.asarray(begin_np), jnp.float32(0.0), jax.random.PRNGKey(0))
+    grown = greedy_decode(*args, grow_cache=True, **common)
+    flat = greedy_decode(*args, grow_cache=False, **common)
+    assert np.array_equal(np.asarray(grown.tokens), np.asarray(flat.tokens))
+    assert np.array_equal(np.asarray(grown.lengths), np.asarray(flat.lengths))
+    np.testing.assert_allclose(np.asarray(grown.sum_logprobs),
+                               np.asarray(flat.sum_logprobs), rtol=1e-4, atol=1e-4)

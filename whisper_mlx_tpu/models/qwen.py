@@ -141,8 +141,8 @@ def init_kv_cache(config: QwenConfig, batch: int, max_len: int, dtype=None):
         qdt = jnp.int8 if config.kv_bits == 8 else jnp.int4
         sshape = (batch, config.num_key_value_heads, max_len, 1)
         return [
-            {"k8t": jnp.zeros(shape, qdt), "ks": jnp.zeros(sshape, jnp.float32),
-             "v8t": jnp.zeros(shape, qdt), "vs": jnp.zeros(sshape, jnp.float32)}
+            {"k8t": jnp.zeros(shape, qdt), "ks": jnp.zeros(sshape, jnp.bfloat16),
+             "v8t": jnp.zeros(shape, qdt), "vs": jnp.zeros(sshape, jnp.bfloat16)}
             for _ in range(config.num_hidden_layers)
         ]
     return [
@@ -288,10 +288,10 @@ def decode_step(
                 scores = jnp.einsum(
                     "bgrqd,bgdk->bgrqk", q5.astype(jnp.float32),
                     kt_full.astype(jnp.float32),
-                ) * (ks_f[..., 0][:, :, None, None, :] * scale)
+                ) * (ks_f[..., 0].astype(jnp.float32)[:, :, None, None, :] * scale)
                 scores = scores + (mask[:, None] if per_row else mask)
                 w = jax.nn.softmax(scores, axis=-1)
-                w = w * vs_f[..., 0][:, :, None, None, :]
+                w = w * vs_f[..., 0].astype(jnp.float32)[:, :, None, None, :]
                 attn = jnp.einsum("bgrqk,bgdk->bgrqd", w,
                                   vt_full.astype(jnp.float32))
             else:

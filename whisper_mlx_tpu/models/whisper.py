@@ -357,8 +357,8 @@ def init_kv_cache(config: WhisperConfig, batch: int, dtype=None,
         sshape = (batch, config.n_text_head, t_alloc, 1)
         qdt = jnp.int8 if config.self_kv_bits == 8 else jnp.int4
         return [
-            {"k8t": jnp.zeros(kt_shape, qdt), "ks": jnp.zeros(sshape, jnp.float32),
-             "v8t": jnp.zeros(kt_shape, qdt), "vs": jnp.zeros(sshape, jnp.float32)}
+            {"k8t": jnp.zeros(kt_shape, qdt), "ks": jnp.zeros(sshape, jnp.bfloat16),
+             "v8t": jnp.zeros(kt_shape, qdt), "vs": jnp.zeros(sshape, jnp.bfloat16)}
             for _ in range(config.n_text_layer)
         ]
     return [

@@ -56,7 +56,7 @@ def _round_up(x: int, m: int) -> int:
 
 def _attend_one(q, kt, vt, ks, vs, valid):
     """One (batch·head) pair: q (Tq, hd) bf16 · kt/vt (hd, Tk) bf16 ·
-    ks/vs (Tk,) f32 · valid (Tq, Tk) bool → (Tq, hd)."""
+    ks/vs (Tk,) bf16/f32 · valid (Tq, Tk) bool → (Tq, hd)."""
     s = jax.lax.dot_general(
         q, kt, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -156,9 +156,9 @@ def _decode_attn_kernel(pos_ref, q_ref, kt_ref, ks_ref, vt_ref, vs_ref,
 def decode_attention_int8(
     q: jnp.ndarray,        # (B, H, Tq, hd) — pre-scaled by head_dim**-0.25
     k8t: jnp.ndarray,      # (B, H, hd, Tk) int8 (keys pre-scaled, TRANSPOSED)
-    k_scale: jnp.ndarray,  # (B, H, Tk, 1) f32
+    k_scale: jnp.ndarray,  # (B, H, Tk, 1) bf16/f32
     v8t: jnp.ndarray,      # (B, H, hd, Tk) int8 (TRANSPOSED)
-    v_scale: jnp.ndarray,  # (B, H, Tk, 1) f32
+    v_scale: jnp.ndarray,  # (B, H, Tk, 1) bf16/f32
     pos: jnp.ndarray | int = 0,  # scalar: first query position (causal only)
     causal: bool = False,
     valid_len: int | None = None,  # real key count (≤ Tk); None → Tk

@@ -29,16 +29,27 @@ import jax.numpy as jnp
 
 
 def quantize_kv(x: jnp.ndarray, bits: int = 8) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """(b, h, t, d) float → int values + per-(b,h,t) fp32 scales.
+    """(b, h, t, d) float → int values + per-(b,h,t) BF16 scales.
 
     bits=8 → int8 (absmax/127); bits=4 → NATIVE ``jnp.int4`` (absmax/7,
     XLA packs two nibbles per byte in HBM — halves the dominant decode
-    stream again; divergence bounds in docs/kv_quant_study.md)."""
+    stream again; divergence bounds in docs/kv_quant_study.md).
+
+    Scales are stored bf16, not f32: per-position scales are 1/hd = 1/64
+    of the element count, so f32 scales add 6.25% to the int8 stream and
+    12.5% to the packed-int4 stream — pure HBM overhead on the decode
+    loop's dominant traffic. Quantization uses the bf16-ROUNDED scale
+    (nudged one ulp up so ``round(x/scale)`` never exceeds qmax), so the
+    scale-folded attention remains EXACT attention over the dequantized
+    grid; only the grid itself shifts by ≤2⁻⁸ relative (vs a rounding
+    step of 2/254 int8 / 2/14 int4 — negligible, and bounded by the same
+    offline study)."""
     x32 = x.astype(jnp.float32)
     absmax = jnp.max(jnp.abs(x32), axis=-1, keepdims=True)  # (b, h, t, 1)
     qmax = 127.0 if bits == 8 else 7.0
-    scale = jnp.maximum(absmax / qmax, 1e-8)
-    q = jnp.clip(jnp.round(x32 / scale), -qmax, qmax)
+    scale = jnp.maximum(absmax / qmax, 1e-8) * (1.0 + 2.0 ** -8)
+    scale = scale.astype(jnp.bfloat16)
+    q = jnp.clip(jnp.round(x32 / scale.astype(jnp.float32)), -qmax, qmax)
     return q.astype(jnp.int8 if bits == 8 else jnp.int4), scale
 
 
@@ -217,9 +228,9 @@ def attention_fp_ancestry(
 def attention_int8_kv(
     q: jnp.ndarray,  # (b, h, tq, d) fp — pre-scaled by head_dim**-0.25
     k8: jnp.ndarray,  # (b, h, tk, d) int8 — quantized pre-scaled keys
-    k_scale: jnp.ndarray,  # (b, h, tk, 1) fp32
+    k_scale: jnp.ndarray,  # (b, h, tk, 1) bf16/fp32
     v8: jnp.ndarray,  # (b, h, tk, d) int8
-    v_scale: jnp.ndarray,  # (b, h, tk, 1) fp32
+    v_scale: jnp.ndarray,  # (b, h, tk, 1) bf16/fp32
     mask: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Exact attention over dequantized K/V without materializing them."""

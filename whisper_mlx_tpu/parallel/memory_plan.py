@@ -176,13 +176,13 @@ def plan_qwen_serving(
     # KV cache per device: layers × 2 × kv_heads × max_len × hd × batch.
     # KV heads are NOT tp-split in the current layout (k/v col-split shards
     # the projection, but the cache batch lives per-request) — count full.
-    # Quantized caches add per-(kv, t) fp32 scales (models/qwen.py).
+    # Quantized caches add per-(kv, t) bf16 scales (models/qwen.py).
     if kv_bits is not None:
         cache_dtype_bytes = kv_bits / 8
     kv = int(
         config.num_hidden_layers * 2 * batch_per_device
         * config.num_key_value_heads * max_len
-        * (config.hd * cache_dtype_bytes + (4 if cache_dtype_bytes < 2 else 0))
+        * (config.hd * cache_dtype_bytes + (2 if cache_dtype_bytes < 2 else 0))
     )
     return MemoryPlan(
         total_bytes=total,
