@@ -184,3 +184,89 @@ def test_int4_kv_beam_search(tiny):
     r = decode(params, mel, tok, cfg4, DecodingOptions(sample_len=8, beam_size=2))
     assert len(r) == 2
     assert all(x.tokens for x in r)
+
+
+def test_beamflat_attention_equals_gathered():
+    """attention_*_beamflat == attention over the parent-gathered cache.
+
+    The lane-interleaved flat beam cache (decoding/beam.py r3) must be
+    EXACTLY the gathered attention: build a random ancestry, interleave
+    the per-lane cache into the flat layout (column t*B + k = lane k's
+    position t), and compare against the materialized gathered cache.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from whisper_mlx_tpu.ops.kv_quant import (
+        attention_fp_beamflat,
+        attention_int8_auto,
+        attention_int8_beamflat,
+    )
+
+    N, B, H, HD, T = 2, 3, 4, 16, 32
+    NB = N * B
+    pos = 20
+    kr = jax.random.PRNGKey(11)
+    q = jax.random.normal(jax.random.fold_in(kr, 0), (NB, H, 1, HD), jnp.float32)
+    k8 = jax.random.randint(jax.random.fold_in(kr, 1), (NB, H, HD, T), -127, 127, jnp.int8)
+    v8 = jax.random.randint(jax.random.fold_in(kr, 2), (NB, H, HD, T), -127, 127, jnp.int8)
+    ks = jax.random.uniform(jax.random.fold_in(kr, 3), (NB, H, T, 1), jnp.float32, 0.01, 0.1)
+    vs = jax.random.uniform(jax.random.fold_in(kr, 4), (NB, H, T, 1), jnp.float32, 0.01, 0.1)
+    anc = jax.random.randint(jax.random.fold_in(kr, 5), (NB, T), 0, B, jnp.int32)
+
+    def flat_kv(a):  # (NB, H, HD, T) -> (N, H, HD, T*B)
+        return jnp.asarray(np.asarray(a).reshape(N, B, H, HD, T)
+                           .transpose(0, 2, 3, 4, 1).reshape(N, H, HD, T * B))
+
+    def flat_s(s):  # (NB, H, T, 1) -> (N, H, T*B, 1)
+        return jnp.asarray(np.asarray(s)[..., 0].reshape(N, B, H, T)
+                           .transpose(0, 2, 3, 1).reshape(N, H, T * B)[..., None])
+
+    got = attention_int8_beamflat(q, flat_kv(k8), flat_s(ks), flat_kv(v8),
+                                  flat_s(vs), anc, jnp.int32(pos), B)
+
+    rows = []
+    for n in range(N):
+        for b in range(B):
+            lane = n * B + b
+            src = n * B + np.asarray(anc[lane])  # (T,) flat source lanes
+            rows.append({
+                "k8": np.asarray(k8)[src, :, :, np.arange(T)],  # (T, H, HD)
+                "v8": np.asarray(v8)[src, :, :, np.arange(T)],
+                "ks": np.asarray(ks)[src, :, np.arange(T), :],
+                "vs": np.asarray(vs)[src, :, np.arange(T), :],
+            })
+    g_k8 = jnp.asarray(np.stack([r["k8"] for r in rows]).transpose(0, 2, 3, 1))
+    g_v8 = jnp.asarray(np.stack([r["v8"] for r in rows]).transpose(0, 2, 3, 1))
+    g_ks = jnp.asarray(np.stack([r["ks"] for r in rows]).transpose(0, 2, 1, 3))
+    g_vs = jnp.asarray(np.stack([r["vs"] for r in rows]).transpose(0, 2, 1, 3))
+    want = attention_int8_auto(q, g_k8, g_ks, g_v8, g_vs, pos=pos, causal=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+    # fp twin
+    from whisper_mlx_tpu.models.whisper import attention
+
+    kf = jax.random.normal(jax.random.fold_in(kr, 6), (NB, H, T, HD), jnp.float32)
+    vf = jax.random.normal(jax.random.fold_in(kr, 7), (NB, H, T, HD), jnp.float32)
+
+    def flat_fp(a):  # (NB, H, T, HD) -> (N, H, T*B, HD)
+        return jnp.asarray(np.asarray(a).reshape(N, B, H, T, HD)
+                           .transpose(0, 2, 3, 1, 4).reshape(N, H, T * B, HD))
+
+    got_fp = attention_fp_beamflat(q, flat_fp(kf), flat_fp(vf), anc,
+                                   jnp.int32(pos), B)
+    g_kf, g_vf = [], []
+    for n in range(N):
+        for b in range(B):
+            lane = n * B + b
+            src = n * B + np.asarray(anc[lane])
+            g_kf.append(np.asarray(kf)[src, :, np.arange(T), :])
+            g_vf.append(np.asarray(vf)[src, :, np.arange(T), :])
+    g_kf = jnp.asarray(np.stack(g_kf).transpose(0, 2, 1, 3))
+    g_vf = jnp.asarray(np.stack(g_vf).transpose(0, 2, 1, 3))
+    k_idx = jnp.arange(T)[None, :]
+    mask = jnp.where(k_idx <= pos, 0.0, -jnp.inf)
+    want_fp, _ = attention(q, g_kf, g_vf, mask)
+    np.testing.assert_allclose(np.asarray(got_fp), np.asarray(want_fp),
+                               rtol=2e-5, atol=2e-5)

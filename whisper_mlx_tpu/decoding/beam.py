@@ -109,6 +109,37 @@ def beam_decode(
     init_flat = jnp.repeat(initial_tokens, B, axis=0)
     logits_all, cache, _ = decode_step(params, init_flat, jnp.int32(0), cache,
                                        xkv, config, share_xkv_groups=B)
+    # Convert the prefilled self-KV cache to the beam lane-INTERLEAVED
+    # flat layout (one-time, outside the loop): column t*B + k of the
+    # time axis holds lane k's position t. In the loop the step write is
+    # one contiguous B-column dynamic_update_slice and attention is a
+    # plain batched matmul over T*B keys — the greedy path's measured
+    # lowering (the 5-D grouped ancestry form forced XLA to stage + copy
+    # the whole carried cache every step: +3.56 s/batch at beam5/B=12,
+    # scripts/profile_beam.py).
+    def _to_flat(entry):
+        if "k8t" in entry:
+            def flat_kv(a):  # (NB, h, d, T) -> (N, h, d, T*B)
+                nb, hh, dd, tt = a.shape
+                return (a.reshape(N, B, hh, dd, tt).transpose(0, 2, 3, 4, 1)
+                        .reshape(N, hh, dd, tt * B))
+
+            def flat_s(s):  # (NB, h, T, 1) -> (N, h, T*B, 1)
+                nb, hh, tt, _ = s.shape
+                return (s[..., 0].reshape(N, B, hh, tt).transpose(0, 2, 3, 1)
+                        .reshape(N, hh, tt * B)[..., None])
+
+            return {"k8f": flat_kv(entry["k8t"]), "ksf": flat_s(entry["ks"]),
+                    "v8f": flat_kv(entry["v8t"]), "vsf": flat_s(entry["vs"])}
+
+        def flat_fp(a):  # (NB, h, T, d) -> (N, h, T*B, d)
+            nb, hh, tt, dd = a.shape
+            return (a.reshape(N, B, hh, tt, dd).transpose(0, 2, 3, 1, 4)
+                    .reshape(N, hh, tt * B, dd))
+
+        return {"kf": flat_fp(entry["k"]), "vf": flat_fp(entry["v"])}
+
+    cache = [_to_flat(e) for e in cache]
     no_speech_probs = jax.nn.softmax(
         logits_all[::B, sot_index].astype(jnp.float32), axis=-1
     )[:, no_speech_token]

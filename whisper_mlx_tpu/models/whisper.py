@@ -401,8 +401,14 @@ def decode_step(
     # causal mask offset by cache position: queries at [pos, pos+t) may attend
     # keys at [0, pos + q_idx]. Length follows the (possibly right-sized)
     # cache allocation, not n_text_ctx (init_kv_cache max_len).
-    t_cache = (kv_cache[0]["k8t"].shape[3] if "k8t" in kv_cache[0]
-               else kv_cache[0]["k"].shape[2])
+    if "k8t" in kv_cache[0]:
+        t_cache = kv_cache[0]["k8t"].shape[3]
+    elif "k8f" in kv_cache[0]:  # beam lane-interleaved flat (T*g columns)
+        t_cache = kv_cache[0]["k8f"].shape[3] // share_xkv_groups
+    elif "kf" in kv_cache[0]:
+        t_cache = kv_cache[0]["kf"].shape[2] // share_xkv_groups
+    else:
+        t_cache = kv_cache[0]["k"].shape[2]
     q_idx = jnp.arange(t)[:, None] + pos
     k_idx = jnp.arange(t_cache)[None, :]
     mask = jnp.where(k_idx <= q_idx, 0.0, -jnp.inf)
@@ -412,7 +418,67 @@ def decode_step(
     for i, blk in enumerate(p["blocks"]):
         h = layer_norm(x, blk["attn_ln"])
         q, k_new, v_new = _qkv_proj(h, blk["attn"], config.n_text_head)
-        if config.self_kv_bits in (4, 8):
+        if "k8f" in kv_cache[i] or "kf" in kv_cache[i]:
+            # Beam-mode lane-interleaved FLAT self-KV cache (t == 1,
+            # beam_ancestry required — see decoding/beam.py). Column
+            # t*g + k of the time axis holds lane k's position t, so the
+            # step write is one contiguous g-column update and attention
+            # keeps the greedy path's plain batched-matmul lowering (the
+            # 5-D grouped form forced whole-cache copies every step —
+            # ops/kv_quant.py attention_int8_beamflat docstring).
+            g = share_xkv_groups
+            n_win = b // g
+            jcol = pos * g
+            if "k8f" in kv_cache[i]:
+                from whisper_mlx_tpu.ops.kv_quant import (
+                    attention_int8_beamflat,
+                    quantize_kv,
+                )
+
+                scale = q.shape[-1] ** -0.25
+                k8n, ksn = quantize_kv(k_new * scale, bits=config.self_kv_bits)
+                v8n, vsn = quantize_kv(v_new, bits=config.self_kv_bits)
+                # (NB, h, 1, d) -> (n, h, d, g) block at columns [pos*g, +g)
+                blkk = k8n[:, :, 0].reshape(n_win, g, config.n_text_head, -1
+                                            ).transpose(0, 2, 3, 1)
+                blkv = v8n[:, :, 0].reshape(n_win, g, config.n_text_head, -1
+                                            ).transpose(0, 2, 3, 1)
+                sblkk = ksn[:, :, 0].reshape(n_win, g, -1).transpose(0, 2, 1)[..., None]
+                sblkv = vsn[:, :, 0].reshape(n_win, g, -1).transpose(0, 2, 1)[..., None]
+                entry = {
+                    "k8f": jax.lax.dynamic_update_slice_in_dim(
+                        kv_cache[i]["k8f"], blkk, jcol, axis=3),
+                    "ksf": jax.lax.dynamic_update_slice_in_dim(
+                        kv_cache[i]["ksf"], sblkk, jcol, axis=2),
+                    "v8f": jax.lax.dynamic_update_slice_in_dim(
+                        kv_cache[i]["v8f"], blkv, jcol, axis=3),
+                    "vsf": jax.lax.dynamic_update_slice_in_dim(
+                        kv_cache[i]["vsf"], sblkv, jcol, axis=2),
+                }
+                new_cache.append(entry)
+                attn_out = attention_int8_beamflat(
+                    q * scale, entry["k8f"], entry["ksf"], entry["v8f"],
+                    entry["vsf"], beam_ancestry, pos, g,
+                )
+            else:
+                from whisper_mlx_tpu.ops.kv_quant import attention_fp_beamflat
+
+                # (NB, h, 1, d) -> (n, h, g, d) block at rows [pos*g, +g)
+                blkk = k_new[:, :, 0].reshape(n_win, g, config.n_text_head, -1
+                                              ).transpose(0, 2, 1, 3)
+                blkv = v_new[:, :, 0].reshape(n_win, g, config.n_text_head, -1
+                                              ).transpose(0, 2, 1, 3)
+                entry = {
+                    "kf": jax.lax.dynamic_update_slice_in_dim(
+                        kv_cache[i]["kf"], blkk, jcol, axis=2),
+                    "vf": jax.lax.dynamic_update_slice_in_dim(
+                        kv_cache[i]["vf"], blkv, jcol, axis=2),
+                }
+                new_cache.append(entry)
+                attn_out = attention_fp_beamflat(
+                    q, entry["kf"], entry["vf"], beam_ancestry, pos, g,
+                )
+        elif config.self_kv_bits in (4, 8):
             from whisper_mlx_tpu.ops.kv_quant import attention_int8_auto, quantize_kv
 
             scale = q.shape[-1] ** -0.25

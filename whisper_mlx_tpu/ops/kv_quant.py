@@ -168,26 +168,110 @@ def attention_int8_ancestry(
     T = k8t.shape[3]
     g = groups
     n = NB // g
-    q5 = q.reshape(n, g, h, tq, d)
+    q4 = q.reshape(n, g, h, d)  # tq == 1, squeezed
     k5 = k8t.reshape(n, g, h, d, T)
     v5 = v8t.reshape(n, g, h, d, T)
     ks5 = k_scale[..., 0].reshape(n, g, h, T)
     vs5 = v_scale[..., 0].reshape(n, g, h, T)
     anc = ancestry.reshape(n, g, T)
 
-    # scores vs every lane: (n, bq, h, q, t, bk)
-    s_all = jnp.einsum("nbhqd,nkhdt->nbhqtk", q5.astype(jnp.float32),
+    # Layout rule (measured, scripts/profile_beam.py): every intermediate
+    # keeps T minor and h second-minor — the earlier "nbhqtk" form put the
+    # beam axis (size g≈5) minor, which Mosaic lane-pads to 128 (≈25×
+    # memory) and cost 3.5 s/batch. Scores vs every lane k: (n, k, b, h, t).
+    s_all = jnp.einsum("nbhd,nkhdt->nkbht", q4.astype(jnp.float32),
                        k5.astype(jnp.float32))
-    s_all = s_all * ks5.transpose(0, 2, 3, 1)[:, None, :, None, :, :]
-    sel = (anc[:, :, None, None, :, None]
-           == jnp.arange(g, dtype=anc.dtype)[None, None, None, None, None, :])
-    s = jnp.sum(jnp.where(sel, s_all, 0.0), axis=-1)  # exactly one lane matches
+    s_all = s_all * ks5[:, :, None, :, :]  # (n, k, 1, h, t)
+    sel = (anc[:, None, :, None, :]
+           == jnp.arange(g, dtype=anc.dtype)[None, :, None, None, None])
+    s = jnp.sum(jnp.where(sel, s_all, 0.0), axis=1)  # exactly one lane matches
     valid = jnp.arange(T)[None, None, None, :] <= pos
     s = jnp.where(valid, s, -jnp.inf)
-    w = jax.nn.softmax(s, axis=-1)  # (n, b, h, q, t)
-    wv = w[..., None] * vs5.transpose(0, 2, 3, 1)[:, None, :, None, :, :]
+    w = jax.nn.softmax(s, axis=-1)  # (n, b, h, t)
+    wv = w[:, None] * vs5[:, :, None, :, :]  # (n, k, b, h, t)
     wv = jnp.where(sel, wv, 0.0)
-    out = jnp.einsum("nbhqtk,nkhdt->nbhqd", wv, v5.astype(jnp.float32))
+    out = jnp.einsum("nkbht,nkhdt->nbhd", wv, v5.astype(jnp.float32))
+    return out.reshape(NB, h, tq, d).astype(q.dtype)
+
+
+def _beamflat_mask(anc: jnp.ndarray, n: int, g: int, J: int,
+                   pos: jnp.ndarray) -> jnp.ndarray:
+    """(n, g, J) bool: column j = t*g + k is attendable by lane b iff
+    lane k owns position t in b's ancestry and t is within the horizon."""
+    T = J // g
+    anc3 = anc.reshape(n, g, T)
+    j = jnp.arange(J)
+    t_idx = j // g
+    k_idx = (j % g).astype(anc.dtype)
+    own = jnp.take(anc3, t_idx, axis=2) == k_idx[None, None, :]
+    valid = (t_idx <= pos)[None, None, :]
+    return own & valid
+
+
+def attention_int8_beamflat(
+    q: jnp.ndarray,       # (N*B, h, 1, d) — pre-scaled queries
+    k8f: jnp.ndarray,     # (n, h, d, T*g) int8/int4 — lane-INTERLEAVED flat
+    ks_f: jnp.ndarray,    # (n, h, T*g, 1)
+    v8f: jnp.ndarray,     # (n, h, d, T*g)
+    vs_f: jnp.ndarray,    # (n, h, T*g, 1)
+    ancestry: jnp.ndarray,  # (N*B, T) int32 in [0, g)
+    pos: jnp.ndarray,     # scalar: current write position (causal horizon)
+    groups: int,          # g — beam lanes per window
+) -> jnp.ndarray:
+    """Beam self-attention over a lane-interleaved FLAT cache.
+
+    The window's g lanes live inside the time axis: column ``t*g + k``
+    holds lane k's K/V for position t, so the per-step write is ONE
+    contiguous g-column dynamic_update_slice and this attention is ONE
+    plain-shaped einsum over T*g keys per window — the exact lowering the
+    greedy path uses (682 GB/s measured). The 5-D grouped form this
+    replaces de-aliased the scan-carried cache (whole-cache VMEM staging +
+    copy-back per step, conv-emitter score dot: 3.56 s/batch extra at
+    beam5/B=12 — scripts/profile_beam.py, scripts/profile_anc_micro.py).
+
+    Ancestry selection is a flat additive mask: softmax over masked
+    columns is EXACTLY the gathered attention (non-selected columns
+    contribute zero; each (lane, t<=pos) selects exactly one column).
+    """
+    NB, h, tq, d = q.shape
+    g = groups
+    n = NB // g
+    J = k8f.shape[3]
+    q4 = q.reshape(n, g, h, d)
+    s = jnp.einsum("nbhd,nhdj->nbhj", q4.astype(jnp.float32),
+                   k8f.astype(jnp.float32))
+    s = s * ks_f[..., 0][:, None, :, :]
+    m = _beamflat_mask(ancestry, n, g, J, pos)
+    s = jnp.where(m[:, :, None, :], s, -jnp.inf)
+    w = jax.nn.softmax(s, axis=-1)
+    w = w * vs_f[..., 0][:, None, :, :]
+    out = jnp.einsum("nbhj,nhdj->nbhd", w, v8f.astype(jnp.float32))
+    return out.reshape(NB, h, tq, d).astype(q.dtype)
+
+
+def attention_fp_beamflat(
+    q: jnp.ndarray,    # (N*B, h, 1, d) — RAW (scaled inside)
+    kf: jnp.ndarray,   # (n, h, T*g, d) — lane-interleaved flat raw keys
+    vf: jnp.ndarray,   # (n, h, T*g, d)
+    ancestry: jnp.ndarray,  # (N*B, T) int32
+    pos: jnp.ndarray,
+    groups: int,
+) -> jnp.ndarray:
+    """fp-cache twin of :func:`attention_int8_beamflat` (parity/test mode).
+
+    q/k each scaled by ``d**-0.25``, matching models.whisper.attention."""
+    NB, h, tq, d = q.shape
+    g = groups
+    n = NB // g
+    J = kf.shape[2]
+    scale = d ** -0.25
+    q4 = (q * scale).reshape(n, g, h, d)
+    s = jnp.einsum("nbhd,nhjd->nbhj", q4.astype(jnp.float32),
+                   (kf * scale).astype(jnp.float32))
+    m = _beamflat_mask(ancestry, n, g, J, pos)
+    s = jnp.where(m[:, :, None, :], s, -jnp.inf)
+    w = jax.nn.softmax(s, axis=-1)
+    out = jnp.einsum("nbhj,nhjd->nbhd", w, vf.astype(jnp.float32))
     return out.reshape(NB, h, tq, d).astype(q.dtype)
 
 
@@ -207,21 +291,23 @@ def attention_fp_ancestry(
     g = groups
     n = NB // g
     scale = d ** -0.25
-    q5 = q.reshape(n, g, h, tq, d)
+    q4 = q.reshape(n, g, h, d)  # tq == 1, squeezed
     k5 = k.reshape(n, g, h, T, d)
     v5 = v.reshape(n, g, h, T, d)
     anc = ancestry.reshape(n, g, T)
 
-    s_all = jnp.einsum("nbhqd,nkhtd->nbhqtk", (q5 * scale).astype(jnp.float32),
+    # same T-minor intermediate layout as attention_int8_ancestry (the
+    # g-minor form lane-padded g to 128 — see that docstring)
+    s_all = jnp.einsum("nbhd,nkhtd->nkbht", (q4 * scale).astype(jnp.float32),
                        (k5 * scale).astype(jnp.float32))
-    sel = (anc[:, :, None, None, :, None]
-           == jnp.arange(g, dtype=anc.dtype)[None, None, None, None, None, :])
-    s = jnp.sum(jnp.where(sel, s_all, 0.0), axis=-1)
+    sel = (anc[:, None, :, None, :]
+           == jnp.arange(g, dtype=anc.dtype)[None, :, None, None, None])
+    s = jnp.sum(jnp.where(sel, s_all, 0.0), axis=1)
     valid = jnp.arange(T)[None, None, None, :] <= pos
     s = jnp.where(valid, s, -jnp.inf)
-    w = jax.nn.softmax(s, axis=-1)
-    wv = jnp.where(sel, w[..., None], 0.0)
-    out = jnp.einsum("nbhqtk,nkhtd->nbhqd", wv, v5.astype(jnp.float32))
+    w = jax.nn.softmax(s, axis=-1)  # (n, b, h, t)
+    wv = jnp.where(sel, w[:, None], 0.0)  # (n, k, b, h, t)
+    out = jnp.einsum("nkbht,nkhtd->nbhd", wv, v5.astype(jnp.float32))
     return out.reshape(NB, h, tq, d).astype(q.dtype)
 
 
