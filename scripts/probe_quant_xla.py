@@ -155,25 +155,33 @@ def main():
     gb_w8 = 2 * gb_w4
     gb_w16 = 4 * gb_w4
 
-    # bf16 reference
-    f_bf16 = jax.jit(lambda x: scan_over(lambda h, d: chain_bf16(h, d),
-                                         [(d,) for d in layers_bf16]))
-    t = timeit("bf16", lambda: f_bf16(x0), note=f"{gb_w16:.2f} GB/step")
+    # bf16 reference — weights are RUNTIME ARGS (captured constants both
+    # blow the remote-compile relay's request-size limit and time
+    # impossibly fast on this backend; see CLAUDE.md gotchas)
+    f_bf16 = jax.jit(lambda x, dense: scan_over(
+        lambda h, d: chain_bf16(h, d), [(d,) for d in dense]))
+    t = timeit("bf16", lambda: f_bf16(x0, layers_bf16),
+               note=f"{gb_w16:.2f} GB/step")
     print(f"#   -> {gb_w16 * STEPS / t:.0f} GB/s; 32L-equiv {t * 32 / L:.2f}s",
           file=sys.stderr)
 
     # xla grouped-einsum int8 codes
-    f_i8 = jax.jit(lambda x: scan_over(
+    f_i8 = jax.jit(lambda x, codes, meta: scan_over(
         lambda h, c, m: chain_xla(h, c, m),
-        [(layers_codes[i], layers_meta[i]) for i in range(L)]))
-    t = timeit("xla_i8", lambda: f_i8(x0), note=f"{gb_w8:.2f} GB/step codes")
+        [(codes[i], meta[i]) for i in range(L)]))
+    t = timeit("xla_i8", lambda: f_i8(x0, layers_codes, layers_meta),
+               note=f"{gb_w8:.2f} GB/step codes")
     print(f"#   -> {gb_w8 * STEPS / t:.0f} GB/s; 32L-equiv {t * 32 / L:.2f}s",
           file=sys.stderr)
 
-    # xla grouped-einsum native int4 codes (converted inside jit: s4 cannot
-    # cross the jit boundary on this backend)
+    # xla grouped-einsum native int4 codes (converted inside jit: 4-bit
+    # dtypes cannot cross the jit boundary on this backend).
+    # PROBE_I4_DTYPE=int4|uint4 — the model path uses uint4 (codes 0..15);
+    # s4 would need recentering.
+    i4_dtype = getattr(jnp, os.environ.get("PROBE_I4_DTYPE", "int4"))
+
     def f_i4_build(x, all_codes, all_meta):
-        codes4 = [[q.astype(jnp.int4) for q in layer] for layer in all_codes]
+        codes4 = [[q.astype(i4_dtype) for q in layer] for layer in all_codes]
         return scan_over(lambda h, c, m: chain_xla(h, c, m),
                          [(codes4[i], all_meta[i]) for i in range(L)])
 
@@ -199,9 +207,10 @@ def main():
          for q, (s, bmin) in zip(layers_codes[i], layers_meta[i])]
         for i in range(L)
     ]
-    f_pl = jax.jit(lambda x: scan_over(lambda h, qts: chain_pallas(h, qts),
-                                       [(layers_qt[i],) for i in range(L)]))
-    t = timeit("pallas", lambda: f_pl(x0), note=f"{gb_w4:.2f} GB/step packed")
+    f_pl = jax.jit(lambda x, qts: scan_over(
+        lambda h, q: chain_pallas(h, q), [(qts[i],) for i in range(L)]))
+    t = timeit("pallas", lambda: f_pl(x0, layers_qt),
+               note=f"{gb_w4:.2f} GB/step packed")
     print(f"#   -> {gb_w4 * STEPS / t:.0f} GB/s; 32L-equiv {t * 32 / L:.2f}s",
           file=sys.stderr)
 

@@ -319,3 +319,70 @@ def test_dequantize_params_matches_quant_path():
     scale = float(jnp.max(jnp.abs(lq)))
     np.testing.assert_allclose(np.asarray(lq), np.asarray(ld),
                                atol=1e-3 * max(scale, 1.0))
+
+
+@pytest.mark.parametrize("bits", [4, 8])
+def test_native_group_matmul_exact(bits):
+    """NativeQuantTensor grouped-einsum matmul == dequant reference, on both
+    the small-M grouped path and the large-M dense fallback (decode loops
+    convert params in-jit via prepare_native_params — probe_quant_xla.py
+    measured this path faster than dense bf16 AND the Pallas kernel)."""
+    from whisper_mlx_tpu.ops.quant import to_native
+
+    rng = np.random.default_rng(3)
+    n, k, gs = 96, 256, 64
+    w = rng.standard_normal((n, k)).astype(np.float32)
+    q = QuantTensor(*map(jnp.asarray, quantize(w, bits, gs)), bits, gs)
+    w_ref = np.asarray(q.dequantize())
+
+    @jax.jit
+    def run(x, qt):
+        nq = to_native(qt)
+        return quant_matmul(x, nq), nq.dequantize()
+
+    for m in (1, 7, 6000):  # 6000 rows exceeds the grouped-partial budget
+        x = jnp.asarray(rng.standard_normal((m, k)).astype(np.float32))
+        y, w_native = run(x, q)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(x) @ w_ref.T,
+                                   rtol=2e-5, atol=2e-4)
+        # native dequantize == packed dequantize up to XLA FMA fusion (the
+        # jitted multiply-add contracts in higher intermediate precision)
+        np.testing.assert_allclose(np.asarray(w_native), w_ref,
+                                   rtol=1e-6, atol=1e-6)
+
+
+def test_prepare_native_params_embeds_and_linears(tiny):
+    """prepare_native_params: linears → NativeQuantTensor, embedding →
+    dense (dequantized once per call); greedy decode through the prepared
+    tree is what test_quantized_decode_matches_dequantized_fp pins."""
+    from whisper_mlx_tpu.ops.quant import NativeQuantTensor, prepare_native_params
+
+    params, config, tok, mel = tiny
+    qparams = quantize_params(params, bits=4, group_size=64)
+
+    @jax.jit
+    def prep(p):
+        out = prepare_native_params(p, embed_dtype=jnp.float32)
+        return out
+
+    prepped = prep(qparams)
+    assert isinstance(prepped["decoder"]["token_emb"], jnp.ndarray)
+    np.testing.assert_allclose(  # == up to XLA FMA fusion (1 ulp)
+        np.asarray(prepped["decoder"]["token_emb"]),
+        np.asarray(qparams["decoder"]["token_emb"].dequantize()),
+        rtol=1e-6, atol=1e-7)
+    found = []
+
+    def walk(node):
+        if isinstance(node, NativeQuantTensor):
+            found.append(node)
+        elif isinstance(node, dict):
+            for v in node.values():
+                walk(v)
+        elif isinstance(node, (list, tuple)):
+            for v in node:
+                walk(v)
+
+    walk(prepped)
+    assert found, "no linear was converted to NativeQuantTensor"
+    assert all(f.codes.dtype in (jnp.uint8, jnp.uint4) for f in found)

@@ -175,3 +175,31 @@ def test_int8_kv_cache_matches_bf16_tokens():
     lp, _ = qwen.decode_step(params, toks[:, :1], pos, c8, cfg8)
     assert lp.shape == (2, 1, 512)
     assert np.isfinite(np.asarray(lp)).all()
+
+
+def test_promoted_native_decode_matches_packed():
+    """promote_resident_native (uint8-code residency for the per-step jit
+    paths) must not change decode results vs the packed QuantTensor tree."""
+    from whisper_mlx_tpu.ops.quant import promote_resident_native, quantize_params
+
+    config = dataclasses.replace(config_from_hf(QWEN2_TINY), dtype=jnp.float32)
+    params = init_params(config, seed=0)
+    qlayers = quantize_params(
+        {"encoder": {"layers": params["layers"]}, "decoder": {}},
+        bits=4, group_size=64)["encoder"]["layers"]
+    qparams = dict(params, layers=qlayers)
+    nparams, promoted = promote_resident_native(qparams)
+    assert promoted
+
+    tokens = jnp.asarray([[1, 2, 3, 44]])
+    lg_q, _ = decode_step(qparams, tokens, jnp.int32(0),
+                          init_kv_cache(config, 1, max_len=8), config)
+    lg_n, _ = decode_step(nparams, tokens, jnp.int32(0),
+                          init_kv_cache(config, 1, max_len=8), config)
+    scale = max(float(np.abs(np.asarray(lg_q)).max()), 1.0)
+    np.testing.assert_allclose(np.asarray(lg_n), np.asarray(lg_q),
+                               atol=1e-4 * scale)
+
+    # budget gate: refuses when codes exceed the budget
+    _, promoted_small = promote_resident_native(qparams, budget_bytes=1)
+    assert not promoted_small

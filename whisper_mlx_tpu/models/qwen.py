@@ -89,7 +89,7 @@ def rms_norm(x: jnp.ndarray, g: jnp.ndarray, eps: float) -> jnp.ndarray:
 
 def _linear(x: jnp.ndarray, p: Params) -> jnp.ndarray:
     w = p["w"]
-    if type(w).__name__ == "QuantTensor":
+    if type(w).__name__ in ("QuantTensor", "NativeQuantTensor"):
         from whisper_mlx_tpu.ops.quant import quant_matmul
 
         y = quant_matmul(x, w)
@@ -169,7 +169,10 @@ def decode_step(
     max_len = kv_cache[0]["kt" if "kt" in kv_cache[0] else "k8t"].shape[3]
     per_row = getattr(pos, "ndim", 0) == 1
     H, KV, hd = config.num_attention_heads, config.num_key_value_heads, config.hd
-    x = params["embed"].astype(config.dtype)[tokens] if type(params["embed"]).__name__ != "QuantTensor" else None
+    x = (params["embed"].astype(config.dtype)[tokens]
+         if type(params["embed"]).__name__ not in ("QuantTensor",
+                                                   "NativeQuantTensor")
+         else None)
     if x is None:
         from whisper_mlx_tpu.ops.quant import quant_rows
 

@@ -58,6 +58,191 @@ class QuantTensor:
         return f"QuantTensor{self.shape}[{self.bits}b/g{self.group_size}]"
 
 
+@jax.tree_util.register_pytree_node_class
+class NativeQuantTensor:
+    """Group-quantized weight with codes resident in a NATIVE integer dtype
+    (u4 for 4-bit on TPU, uint8 otherwise) instead of uint32-packed words.
+
+    Why: measured on v5e (scripts/probe_quant_xla.py, runtime-arg operands),
+    XLA streams native s4 codes with the int→bf16 convert fused into the
+    dequant einsum at a 224-step 32L-equivalent of 0.46 s vs 0.59 s dense
+    bf16 and 0.82 s for the fused Pallas kernel — the opaque pallas_call
+    blocks XLA from overlapping weight streams with attention, and its
+    single-DMA-stream tops out ~330 GB/s. So the decode loops convert
+    QuantTensor params to this form *inside* the jit (s4 cannot cross a jit
+    boundary on this backend — CLAUDE.md) via :func:`prepare_native_params`.
+
+    Matmul algebra (exact affine dequant, bias folded via activation group
+    sums — same as ops/quant_pallas.py):
+
+        partial[m,n,g] = sum_s x[m,g,s] * codes[n,g,s]
+        y[m,n] = sum_g partial[m,n,g] * scales[n,g] + xg[m,g] @ biases[n,g]
+    """
+
+    def __init__(self, codes, scales, biases, bits: int, group_size: int):
+        self.codes = codes  # (out, in) s4/int8 values in [0, 2^bits)
+        self.scales = scales  # (out, in // group_size)
+        self.biases = biases  # (out, in // group_size)
+        self.bits = int(bits)
+        self.group_size = int(group_size)
+
+    @property
+    def shape(self) -> tuple[int, int]:
+        return self.codes.shape
+
+    def tree_flatten(self):
+        return (self.codes, self.scales, self.biases), (self.bits, self.group_size)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+    def dequantize(self, dtype=jnp.float32) -> jnp.ndarray:
+        out_dim, in_dim = self.codes.shape
+        g = self.codes.astype(dtype).reshape(out_dim, in_dim // self.group_size,
+                                             self.group_size)
+        w = (g * self.scales[..., None].astype(dtype)
+             + self.biases[..., None].astype(dtype))
+        return w.reshape(out_dim, in_dim)
+
+    def __repr__(self):
+        return (f"NativeQuantTensor{self.shape}"
+                f"[{self.bits}b/g{self.group_size}/{self.codes.dtype}]")
+
+
+def to_native(q: QuantTensor) -> NativeQuantTensor:
+    """Unpack a QuantTensor's uint32 words into native-dtype codes.
+
+    Call inside jit (the decode loop's trace) — ~ms one-time cost per call,
+    after which every step streams 4-bit codes at native density.
+    """
+    vals = unpack(q.w_q, q.bits, xp=jnp)  # uint32, values in [0, 2^bits)
+    if q.bits == 4 and jax.default_backend() == "tpu":
+        # packed u4 residency: half the bytes; codes 0..15 need UNSIGNED 4-bit
+        vals = vals.astype(jnp.int32).astype(jnp.uint4)
+    else:
+        vals = vals.astype(jnp.uint8)
+    return NativeQuantTensor(vals, q.scales, q.biases, q.bits, q.group_size)
+
+
+def prepare_native_params(params, embed_keys: tuple = ("embed", "token_emb"),
+                          embed_dtype=jnp.bfloat16):
+    """QuantTensor → NativeQuantTensor across a param pytree, inside jit.
+
+    Linears become grouped-einsum native-code matmuls. Embedding tables
+    (matched by dict key) are instead dequantized once per call to
+    ``embed_dtype``: the logits head's N (vocab) is too large for the
+    grouped partial (M·N·G f32), and a plain dense head + plain gather then
+    run at full XLA speed; values are bit-identical to dequantize().
+    No-op for non-quantized trees.
+    """
+
+    def walk(node):
+        if isinstance(node, QuantTensor):
+            return to_native(node)
+        if isinstance(node, NativeQuantTensor):
+            # uint8-resident tree (promote_resident_native): upgrade 4-bit
+            # codes to u4 for this call — halves the loop's code stream
+            if (node.bits == 4 and node.codes.dtype == jnp.uint8
+                    and jax.default_backend() == "tpu"):
+                return NativeQuantTensor(
+                    node.codes.astype(jnp.uint4), node.scales, node.biases,
+                    node.bits, node.group_size)
+            return node
+        if isinstance(node, dict):
+            out = {}
+            for k, v in node.items():
+                if k in embed_keys and isinstance(v, (QuantTensor,
+                                                      NativeQuantTensor)):
+                    out[k] = v.dequantize(dtype=embed_dtype)
+                else:
+                    out[k] = walk(v)
+            return out
+        if isinstance(node, (list, tuple)):
+            t = type(node)
+            return t(walk(v) for v in node)
+        return node
+
+    return walk(params)
+
+
+def promote_resident_native(params, budget_bytes: int | None = 9 << 30):
+    """EAGERLY convert packed QuantTensor weights to uint8-code
+    NativeQuantTensor residency, for PER-STEP jit paths (streaming SSE
+    loop, continuous batch engine) where u4/s4 cannot cross the jit
+    boundary on this backend but uint8 can. Measured at M=1 on v5e
+    (probe_quant_xla.py): uint8 codes 0.52 s 32L-equiv vs 1.20 s for the
+    per-step Pallas kernel and 0.57 s dense bf16.
+
+    Costs 1 B/elt of HBM (2× the packed 4-bit form), so it gates on
+    ``budget_bytes`` (None = always). One-jit decode loops upgrade these
+    codes to u4 in-jit via prepare_native_params. Returns
+    ``(params, promoted?)``.
+    """
+    qts: list[QuantTensor] = []
+
+    def scan(node):
+        if isinstance(node, QuantTensor):
+            qts.append(node)
+        elif isinstance(node, dict):
+            for v in node.values():
+                scan(v)
+        elif isinstance(node, (list, tuple)):
+            for v in node:
+                scan(v)
+
+    scan(params)
+    if not qts:
+        return params, False
+    total = sum(q.shape[0] * q.shape[1] for q in qts)
+    if budget_bytes is not None and total > budget_bytes:
+        return params, False
+
+    def walk(node):
+        if isinstance(node, QuantTensor):
+            vals = unpack(node.w_q, node.bits, xp=jnp).astype(jnp.uint8)
+            return NativeQuantTensor(vals, node.scales, node.biases,
+                                     node.bits, node.group_size)
+        if isinstance(node, dict):
+            return {k: walk(v) for k, v in node.items()}
+        if isinstance(node, (list, tuple)):
+            return type(node)(walk(v) for v in node)
+        return node
+
+    return walk(params), True
+
+
+def native_group_matmul(x: jnp.ndarray, q: NativeQuantTensor) -> jnp.ndarray:
+    """``x @ dequant(q).T`` over native codes — x (..., in) → (..., out).
+
+    Decode-shaped calls use the two-einsum grouped form (codes streamed at
+    native density, convert fused by XLA). Calls whose f32 partial
+    (M, N, G) would exceed ~128 MB (prefill / encoder shapes) fall back to
+    dequant-then-matmul, where the GEMM dominates anyway.
+    """
+    *lead, in_dim = x.shape
+    m = 1
+    for d in lead:
+        m *= d
+    n, groups = q.scales.shape
+    gs = q.group_size
+    if m * n * groups * 4 > 128 * 1024 * 1024:
+        w = q.dequantize(dtype=x.dtype)  # (out, in)
+        return x @ w.T
+    x2 = x.reshape(m, in_dim)
+    cdt = x.dtype  # compute dtype follows activations: fp32 parity path exact
+    xg = x2.astype(jnp.float32).reshape(m, groups, gs).sum(-1)  # (M, G)
+    partial = jnp.einsum(
+        "mgs,ngs->mng",
+        x2.reshape(m, groups, gs).astype(cdt),
+        q.codes.reshape(n, groups, gs).astype(cdt),
+        preferred_element_type=jnp.float32,
+    )
+    y = jnp.einsum("mng,ng->mn", partial, q.scales)
+    y = y + xg @ q.biases.T
+    return y.astype(x.dtype).reshape(*lead, n)
+
+
 def quantize(w: np.ndarray, bits: int = 4, group_size: int = 64):
     """MLX-semantics affine group quantization of (out, in) weights.
 
@@ -103,15 +288,20 @@ def dequantize(w_q, scales, biases, bits: int, group_size: int,
     return w.reshape(out_dim, in_dim)
 
 
-def quant_matmul(x: jnp.ndarray, q: QuantTensor, backend: str = "auto") -> jnp.ndarray:
+def quant_matmul(x: jnp.ndarray, q, backend: str = "auto") -> jnp.ndarray:
     """``x @ dequant(q).T`` — x (..., in) → (..., out).
 
+    NativeQuantTensor (decode loops, via prepare_native_params) takes the
+    grouped-einsum path — measured fastest on v5e (beats dense bf16 AND the
+    Pallas kernel; probe_quant_xla.py). For packed QuantTensor,
     backend="auto": on TPU, decode-shaped calls (few rows) use the fused
     Pallas dequant kernel — XLA's dequant-then-matmul materializes the fp
     weight matrix in HBM every step, which measured SLOWER than bf16 for
     the HBM-bound decode loop. Large-M calls (encoder/prefill) keep the XLA
     path, whose GEMM cost dominates and whose x tile would not fit VMEM.
     """
+    if isinstance(q, NativeQuantTensor):
+        return native_group_matmul(x, q)
     if backend == "auto":
         import jax
 
@@ -131,12 +321,20 @@ def quant_matmul(x: jnp.ndarray, q: QuantTensor, backend: str = "auto") -> jnp.n
     return x @ w.T
 
 
-def quant_rows(q: QuantTensor, rows: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
+def quant_rows(q, rows: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
     """Dequantize selected rows (embedding lookup): rows (...,) → (..., in).
 
     Gathers packed words + per-group affines for just the requested rows —
-    O(tokens · d) instead of O(vocab · d).
+    O(tokens · d) instead of O(vocab · d). Accepts NativeQuantTensor too
+    (uint8 codes gather directly).
     """
+    if isinstance(q, NativeQuantTensor):
+        vals = q.codes[rows].astype(dtype)  # (..., in)
+        *lead, in_dim = vals.shape
+        vals = vals.reshape(*lead, in_dim // q.group_size, q.group_size)
+        w = (vals * q.scales[rows][..., None].astype(dtype)
+             + q.biases[rows][..., None].astype(dtype))
+        return w.reshape(*lead, in_dim)
     w_q = q.w_q[rows]  # (..., in*bits//32)
     scales = q.scales[rows]
     biases = q.biases[rows]
