@@ -122,13 +122,31 @@ def main():
     cache = qwen.init_kv_cache(config, batch, max_len)
     toks = jnp.zeros((batch, prompt), jnp.int32)
 
+    # QB_NATIVE=1 (opt-in): convert packed codes to native-dtype residency
+    # inside the jit (XLA grouped-einsum dequant). Measured 4x SLOWER than
+    # the default Pallas kernel e2e (11.8 vs 48.9 tok/s at B=1, r3) even
+    # though microbenchmarks predicted the opposite; kept for re-measuring
+    # on future toolchains.
+    native = os.environ.get("QB_NATIVE", "0") == "1"
+
+    def prep(p):
+        if native and quant:
+            from whisper_mlx_tpu.ops.quant import prepare_native_params
+
+            return prepare_native_params(p, embed_dtype=config.dtype,
+                                         decode_rows=batch)
+        return p
+
     @jax.jit
     def prefill(params, toks, cache):
-        logits, cache = qwen.decode_step(params, toks, jnp.int32(0), cache, config)
+        logits, cache = qwen.decode_step(prep(params), toks, jnp.int32(0),
+                                         cache, config)
         return logits, cache
 
     @jax.jit
     def decode_loop(params, cache, first):
+        params = prep(params)
+
         def body(carry, _):
             tok, pos, cache = carry
             logits, cache = qwen.decode_step(params, tok, pos, cache, config)

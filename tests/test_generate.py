@@ -116,3 +116,38 @@ def test_engine_speculative_path_matches_plain():
     # sampling requests bypass the speculative path
     r_sampled = spec.generate("hello there", max_tokens=8, temperature=0.9, seed=2)
     assert r_sampled.generation_tokens <= 8
+
+
+def test_quantized_promoted_stream_matches_generate(monkeypatch):
+    """Quantized engine with the OPT-IN uint8-code promotion
+    (WTPU_NATIVE_RESIDENT=1): the per-step streaming jit over native codes
+    must agree with the one-jit generate loop. (Default is off — the Pallas
+    path measured faster e2e on the TPU; this pins the opt-in path's
+    correctness.)"""
+    import dataclasses
+
+    from whisper_mlx_tpu.ops.quant import NativeQuantTensor, quantize_params
+
+    monkeypatch.setenv("WTPU_NATIVE_RESIDENT", "1")
+
+    tok = ByteFallbackTokenizer()
+    config = QwenConfig(
+        vocab_size=tok.vocab_size, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        rope_theta=10_000.0, tie_word_embeddings=True, attention_bias=True,
+        dtype=jnp.float32,
+    )
+    params = init_params(config, seed=0)
+    qlayers = quantize_params(
+        {"encoder": {"layers": params["layers"]}, "decoder": {}},
+        bits=4, group_size=64)["encoder"]["layers"]
+    eng = LLMEngine(dict(params, layers=qlayers), config, tok, max_context=256)
+    leaves = jax.tree_util.tree_leaves(
+        eng.params, is_leaf=lambda n: isinstance(n, NativeQuantTensor))
+    assert any(isinstance(x, NativeQuantTensor) for x in leaves)
+    full = eng.generate("abc", max_tokens=10, temperature=0.0)
+    streamed = "".join(eng.stream_generate("abc", max_tokens=10, temperature=0.0))
+    # the stream withholds trailing incomplete UTF-8 bytes ('�'); everything
+    # it does emit must match the one-jit loop exactly
+    assert full.text.startswith(streamed)
+    assert set(full.text[len(streamed):]) <= {"�"}

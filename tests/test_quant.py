@@ -386,3 +386,34 @@ def test_prepare_native_params_embeds_and_linears(tiny):
     walk(prepped)
     assert found, "no linear was converted to NativeQuantTensor"
     assert all(f.codes.dtype in (jnp.uint8, jnp.uint4) for f in found)
+
+
+def test_unfuse_whisper_qkv_roundtrip(tiny):
+    """fuse → unfuse restores the exact packed q/k/v tensors (row slicing
+    of the stacked QuantTensor), and dense decode through
+    maybe_dense_decode_params of a FUSED tree equals the unfused decode."""
+    from whisper_mlx_tpu.ops.quant import (
+        fuse_whisper_qkv,
+        maybe_dense_decode_params,
+        unfuse_whisper_qkv,
+    )
+
+    params, config, tok, mel = tiny
+    qparams = quantize_params(params, bits=4, group_size=64)
+    fused = fuse_whisper_qkv(qparams)
+    assert "qkv" in fused["decoder"]["blocks"][0]["attn"]
+    back = unfuse_whisper_qkv(fused)
+    for part in ("encoder", "decoder"):
+        for orig_blk, back_blk in zip(qparams[part]["blocks"], back[part]["blocks"]):
+            for key in ("q", "k", "v"):
+                a, b = orig_blk["attn"][key]["w"], back_blk["attn"][key]["w"]
+                np.testing.assert_array_equal(np.asarray(a.w_q), np.asarray(b.w_q))
+                np.testing.assert_array_equal(np.asarray(a.scales), np.asarray(b.scales))
+
+    # dense conversion of the fused tree (rows>16 path) decodes identically
+    # to the packed unfused tree
+    dense = maybe_dense_decode_params(fused, rows=32, dtype=jnp.float32)
+    assert "qkv" not in dense["decoder"]["blocks"][0]["attn"]
+    r_dense = decode(dense, mel, tok, config, DecodingOptions(sample_len=8))
+    r_packed = decode(qparams, mel, tok, config, DecodingOptions(sample_len=8))
+    assert [r.tokens for r in r_dense] == [r.tokens for r in r_packed]

@@ -89,10 +89,7 @@ def beam_decode(
     eot = filter_cfg.eot
     NB = N * B
 
-    # 4-bit params → native-code residency for the loop (see greedy.py)
-    from whisper_mlx_tpu.ops.quant import prepare_native_params
-
-    params = prepare_native_params(params, embed_dtype=config.dtype)
+    # packed quant params only reach here at few-row shapes (see greedy.py)
     # cross K/V are beam-invariant (pure function of the audio): computed
     # ONCE per window and SHARED across the B hypothesis rows via grouped
     # cross-attention (share_xkv_groups) — replicating them multiplied the

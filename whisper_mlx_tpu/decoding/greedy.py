@@ -65,13 +65,11 @@ def greedy_decode(
     n_ctx = config.n_text_ctx
     eot = filter_cfg.eot
 
-    # 4-bit/8-bit params: unpack codes to native s4/int8 residency once per
-    # call (~ms) so every decode step streams them through XLA's fused
-    # dequant einsum — measured faster than both dense bf16 and the Pallas
-    # kernel (ops/quant.py NativeQuantTensor; probe_quant_xla.py).
-    from whisper_mlx_tpu.ops.quant import prepare_native_params
-
-    params = prepare_native_params(params, embed_dtype=config.dtype)
+    # Packed 4/8-bit params reach here only at few-row shapes — batched
+    # callers convert to dense jit arguments first (decoding/task.py via
+    # ops/quant.py maybe_dense_decode_params: in-jit residency conversions
+    # all measured SLOWER than dense arguments at B=56, and the fused
+    # Pallas kernel wins at few rows).
     xkv = cross_kv(params, audio_states, config)
     # right-size the cache to the real horizon — every step re-reads it all.
     # Additionally run TWO-PHASE: most of the decode happens at small

@@ -161,6 +161,17 @@ def decode(
     encoder states when ``states_precomputed`` (the transcribe seek loop
     reuses encoder output across the temperature-fallback ladder).
     """
+    # packed 4/8-bit checkpoints: at batched decode shapes, dense weights
+    # passed as jit ARGUMENTS are the fastest serving form measured on v5e
+    # (ops/quant.py maybe_dense_decode_params — one cached device-side
+    # dequant, then the loop runs at exact bf16 speed); few-row decodes
+    # keep the packed tree for the fused Pallas kernel's smaller stream.
+    from whisper_mlx_tpu.ops.quant import maybe_dense_decode_params
+
+    n_rows = mel_or_states.shape[0] * (
+        options.beam_size or options.best_of or 1)
+    params = maybe_dense_decode_params(params, n_rows, dtype=config.dtype)
+
     if options.beam_size is not None:
         from whisper_mlx_tpu.decoding.beam import beam_decode_task
 

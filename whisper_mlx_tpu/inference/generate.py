@@ -27,7 +27,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from whisper_mlx_tpu.ops.quant import prepare_native_params
 from whisper_mlx_tpu.models.qwen import (
     Params,
     QwenConfig,
@@ -148,11 +147,10 @@ def _generate_jit(
     causal mask ever exposes it."""
     b, _tpad = prompt.shape
     t0 = prompt_len
-    # 4-bit params → native s4 residency for the decode loop (ops/quant.py
-    # NativeQuantTensor): one ~ms unpack per call, then every step streams
-    # codes through XLA's fused dequant einsum — measured 2.35× the Pallas
-    # kernel at B=1 and faster than dense bf16 (probe_quant_xla.py).
-    params = prepare_native_params(params, embed_dtype=config.dtype)
+    # Packed 4-bit params stay packed: the fused Pallas dequant kernel is
+    # the fastest measured LLM decode form e2e (qwen2.5-7b B=1: 48.9 tok/s
+    # vs 11.8 for in-jit native-code grouped einsums — bench_history r3;
+    # microbenchmarks predicted the opposite, e2e is the only truth here).
     cache = init_kv_cache(config, b, max_len)
     logits, cache = decode_step(params, prompt, jnp.int32(0), cache, config)
     last = jax.lax.dynamic_slice_in_dim(logits, t0 - 1, 1, axis=1)[:, 0].astype(jnp.float32)
@@ -197,15 +195,14 @@ class LLMEngine:
         kv_bits = int(os.environ.get("WTPU_LLM_KV_BITS", "0"))
         if kv_bits and config.kv_bits != kv_bits:
             config = dataclasses.replace(config, kv_bits=kv_bits)
-        # Promote packed 4/8-bit weights to uint8-code residency so the
-        # PER-STEP jits (SSE streaming loop, continuous batch engine)
-        # stream codes through XLA's fused dequant einsum instead of the
-        # slower per-step Pallas kernel (2.3× the weight stream at B=1 —
-        # ops/quant.py promote_resident_native). WTPU_NATIVE_RESIDENT:
-        # auto (default, HBM-budget-gated) / 1 (force) / 0 (off).
+        # Opt-in (WTPU_NATIVE_RESIDENT=1/auto): promote packed weights to
+        # uint8-code residency for the per-step jits. DEFAULT OFF — despite
+        # microbenchmarks favoring it, the XLA grouped-einsum dequant
+        # measured 4× slower than the fused Pallas kernel in the real
+        # decode loop (qwen2.5-7b B=1: 11.8 vs 48.9 tok/s, bench r3).
         from whisper_mlx_tpu.ops.quant import promote_resident_native
 
-        resident = os.environ.get("WTPU_NATIVE_RESIDENT", "auto")
+        resident = os.environ.get("WTPU_NATIVE_RESIDENT", "0")
         if resident != "0":
             params, promoted = promote_resident_native(
                 params, budget_bytes=None if resident == "1" else 9 << 30)

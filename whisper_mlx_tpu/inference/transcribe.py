@@ -519,6 +519,17 @@ def _transcribe_batched(
     all_segments: list[Segment] = []
     seg_id = 0
 
+    # packed 4/8-bit checkpoints: convert once here so the ENCODER also runs
+    # on dense jit-argument weights (see ops/quant.py
+    # maybe_dense_decode_params; decode() would convert anyway)
+    from whisper_mlx_tpu.ops.quant import maybe_dense_decode_params
+
+    params = maybe_dense_decode_params(
+        params,
+        window_batch_size * (decode_options.get("beam_size")
+                             or decode_options.get("best_of") or 1),
+        dtype=config.dtype)
+
     for start in range(0, n_windows, window_batch_size):
         chunk = mel_batch[start : start + window_batch_size]
         # pad chunk to the full batch size so one executable serves all chunks

@@ -124,7 +124,7 @@ def layer_norm(x: jnp.ndarray, p: Params, eps: float = 1e-5) -> jnp.ndarray:
 
 def linear(x: jnp.ndarray, p: Params) -> jnp.ndarray:
     w = p["w"]
-    if type(w).__name__ in ("QuantTensor", "NativeQuantTensor"):  # ops/quant.py
+    if type(w).__name__ in ("QuantTensor", "NativeQuantTensor", "DenseWeight"):  # ops/quant.py
         from whisper_mlx_tpu.ops.quant import quant_matmul
 
         y = quant_matmul(x, w)
@@ -137,7 +137,7 @@ def linear(x: jnp.ndarray, p: Params) -> jnp.ndarray:
 
 def embed_tokens(emb, tokens: jnp.ndarray, dtype) -> jnp.ndarray:
     """Token embedding lookup; quantized tables gather+dequant rows only."""
-    if type(emb).__name__ in ("QuantTensor", "NativeQuantTensor"):
+    if type(emb).__name__ in ("QuantTensor", "NativeQuantTensor", "DenseWeight"):
         from whisper_mlx_tpu.ops.quant import quant_rows
 
         return quant_rows(emb, tokens, dtype=dtype)
@@ -146,7 +146,7 @@ def embed_tokens(emb, tokens: jnp.ndarray, dtype) -> jnp.ndarray:
 
 def embed_logits(emb, x: jnp.ndarray, dtype) -> jnp.ndarray:
     """Tied-embedding output head: x (b,t,d) → logits (b,t,vocab)."""
-    if type(emb).__name__ in ("QuantTensor", "NativeQuantTensor"):
+    if type(emb).__name__ in ("QuantTensor", "NativeQuantTensor", "DenseWeight"):
         from whisper_mlx_tpu.ops.quant import quant_matmul
 
         return quant_matmul(x, emb)

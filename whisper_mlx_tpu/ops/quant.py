@@ -22,6 +22,8 @@ our fp pytrees store (in, out). QuantTensor keeps MLX layout (out, in);
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -110,6 +112,32 @@ class NativeQuantTensor:
                 f"[{self.bits}b/g{self.group_size}/{self.codes.dtype}]")
 
 
+@jax.tree_util.register_pytree_node_class
+class DenseWeight:
+    """A dequantized-per-call linear weight in its NATURAL (out, in) layout.
+
+    Produced by prepare_native_params' large-M mode. Kept (out, in) —
+    transposing under the optimization_barrier left the layout to roulette
+    and measured ~6 ms/step of per-step fixup in the decode loop; the
+    consumer instead contracts the minor axis directly (``x @ w.T`` form,
+    the MXU-preferred transposed-rhs dot, no physical transpose).
+    """
+
+    def __init__(self, w):
+        self.w = w  # (out, in)
+
+    @property
+    def shape(self):
+        return self.w.shape
+
+    def tree_flatten(self):
+        return (self.w,), ()
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
 def to_native(q: QuantTensor) -> NativeQuantTensor:
     """Unpack a QuantTensor's uint32 words into native-dtype codes.
 
@@ -122,25 +150,48 @@ def to_native(q: QuantTensor) -> NativeQuantTensor:
         vals = vals.astype(jnp.int32).astype(jnp.uint4)
     else:
         vals = vals.astype(jnp.uint8)
+    # materialize the converted codes NOW: without the barrier XLA may sink
+    # the unpack into the decode while_loop and re-shift the packed words
+    # every step instead of streaming the native codes
+    vals = jax.lax.optimization_barrier(vals)
     return NativeQuantTensor(vals, q.scales, q.biases, q.bits, q.group_size)
 
 
 def prepare_native_params(params, embed_keys: tuple = ("embed", "token_emb"),
-                          embed_dtype=jnp.bfloat16):
-    """QuantTensor → NativeQuantTensor across a param pytree, inside jit.
+                          embed_dtype=jnp.bfloat16, decode_rows: int = 1):
+    """QuantTensor → decode-loop-ready weights, inside jit.
 
-    Linears become grouped-einsum native-code matmuls. Embedding tables
-    (matched by dict key) are instead dequantized once per call to
-    ``embed_dtype``: the logits head's N (vocab) is too large for the
-    grouped partial (M·N·G f32), and a plain dense head + plain gather then
-    run at full XLA speed; values are bit-identical to dequantize().
-    No-op for non-quantized trees.
+    ``decode_rows`` = the decode loop's matmul M (its token-batch rows):
+
+    - **small M (≤16)**: linears become NativeQuantTensor grouped-einsum
+      matmuls — codes streamed at native 4-bit density with the convert
+      fused (measured 2.35× the Pallas kernel and faster than bf16 at M=1;
+      the (M, N, G) f32 partial XLA materializes per dot is tiny here).
+    - **large M** (batched whisper decode): the materialized partial costs
+      ~8 ms/step at B=56 — MORE than streaming bf16 weights, so linears are
+      instead dequantized ONCE per call (optimization_barrier keeps XLA
+      from sinking the dequant into the loop) and the loop runs at exactly
+      dense-bf16 speed while only the packed codes stay resident between
+      calls.
+
+    Embedding tables (matched by dict key) are always dequantized once per
+    call to ``embed_dtype``: the logits head's N (vocab) is too large for
+    the grouped partial, and a plain dense head + plain gather run at full
+    XLA speed; values are bit-identical to dequantize(). No-op for
+    non-quantized trees.
     """
+    native = decode_rows <= 16
+
+    def densify(q) -> DenseWeight:
+        w = q.dequantize(dtype=embed_dtype)  # natural (out, in) layout
+        return DenseWeight(jax.lax.optimization_barrier(w))
 
     def walk(node):
         if isinstance(node, QuantTensor):
-            return to_native(node)
+            return to_native(node) if native else densify(node)
         if isinstance(node, NativeQuantTensor):
+            if not native:
+                return densify(node)
             # uint8-resident tree (promote_resident_native): upgrade 4-bit
             # codes to u4 for this call — halves the loop's code stream
             if (node.bits == 4 and node.codes.dtype == jnp.uint8
@@ -152,9 +203,14 @@ def prepare_native_params(params, embed_keys: tuple = ("embed", "token_emb"),
         if isinstance(node, dict):
             out = {}
             for k, v in node.items():
-                if k in embed_keys and isinstance(v, (QuantTensor,
-                                                      NativeQuantTensor)):
+                if k in embed_keys and isinstance(v, QuantTensor):
                     out[k] = v.dequantize(dtype=embed_dtype)
+                elif k in embed_keys and isinstance(v, NativeQuantTensor):
+                    # promoted trees keep the embed native (uint8 gather +
+                    # grouped head) so the one-jit and per-step loops run
+                    # IDENTICAL math; large-M callers densify instead
+                    out[k] = v if native else jax.lax.optimization_barrier(
+                        v.dequantize(dtype=embed_dtype))
                 else:
                     out[k] = walk(v)
             return out
@@ -216,9 +272,12 @@ def native_group_matmul(x: jnp.ndarray, q: NativeQuantTensor) -> jnp.ndarray:
     """``x @ dequant(q).T`` over native codes — x (..., in) → (..., out).
 
     Decode-shaped calls use the two-einsum grouped form (codes streamed at
-    native density, convert fused by XLA). Calls whose f32 partial
-    (M, N, G) would exceed ~128 MB (prefill / encoder shapes) fall back to
-    dequant-then-matmul, where the GEMM dominates anyway.
+    native density, convert fused by XLA). Per-call economics: the grouped
+    form's materialized f32 partial costs ~8·M·N·G bytes of traffic, the
+    dense fallback ~4.5·N·K — grouped wins for M ≲ 36 regardless of N.
+    Large-M calls (prefill / encoder shapes) fall back to
+    dequant-then-matmul, where the GEMM dominates anyway; a partial-size
+    cap bounds the transient HBM spike for huge-vocab heads.
     """
     *lead, in_dim = x.shape
     m = 1
@@ -226,7 +285,7 @@ def native_group_matmul(x: jnp.ndarray, q: NativeQuantTensor) -> jnp.ndarray:
         m *= d
     n, groups = q.scales.shape
     gs = q.group_size
-    if m * n * groups * 4 > 128 * 1024 * 1024:
+    if m > 32 or m * n * groups * 4 > 768 * 1024 * 1024:
         w = q.dequantize(dtype=x.dtype)  # (out, in)
         return x @ w.T
     x2 = x.reshape(m, in_dim)
@@ -238,7 +297,14 @@ def native_group_matmul(x: jnp.ndarray, q: NativeQuantTensor) -> jnp.ndarray:
         q.codes.reshape(n, groups, gs).astype(cdt),
         preferred_element_type=jnp.float32,
     )
-    y = jnp.einsum("mng,ng->mn", partial, q.scales)
+    strategy = os.environ.get("WTPU_QMM", "einsum")
+    if strategy == "reduce":
+        # elementwise-mul + reduce epilogue: output-fusable into the dot,
+        # avoiding a materialized (M, N, G) partial where the einsum form
+        # fails to fuse in-context
+        y = jnp.sum(partial * q.scales[None, :, :], axis=-1)
+    else:
+        y = jnp.einsum("mng,ng->mn", partial, q.scales)
     y = y + xg @ q.biases.T
     return y.astype(x.dtype).reshape(*lead, n)
 
@@ -300,6 +366,8 @@ def quant_matmul(x: jnp.ndarray, q, backend: str = "auto") -> jnp.ndarray:
     the HBM-bound decode loop. Large-M calls (encoder/prefill) keep the XLA
     path, whose GEMM cost dominates and whose x tile would not fit VMEM.
     """
+    if isinstance(q, DenseWeight):
+        return x @ q.w.astype(x.dtype).T  # transposed-rhs dot, no copy
     if isinstance(q, NativeQuantTensor):
         return native_group_matmul(x, q)
     if backend == "auto":
@@ -430,6 +498,47 @@ def stack_quant(tensors: "list[QuantTensor]") -> QuantTensor:
     )
 
 
+_DENSE_DECODE_CACHE: dict[int, tuple] = {}
+
+
+def maybe_dense_decode_params(params, rows: int, dtype=jnp.bfloat16):
+    """E2E-measured serving policy for packed 4/8-bit checkpoints.
+
+    ``rows`` = the decode loop's matmul M (windows × beam/best_of).
+
+    - **rows > 16** (batched whisper decode): eagerly dequantize ONCE on
+      device (~10 ms) and pass DENSE weights as ordinary jit arguments —
+      the loop then runs at exactly dense-bf16 speed. Every in-jit
+      alternative measured slower on v5e at B=56 (bench_history r3):
+      fused Pallas 202.6 RTF, in-jit native-u4 grouped einsum 230.9,
+      in-jit dequant + optimization_barrier 251 (XLA re-copies the
+      barrier'd temps per step) vs 315 for dense-argument weights.
+    - **rows ≤ 16**: keep the packed tree — the fused Pallas kernel's 4×
+      smaller weight stream wins end-to-end at few rows (qwen2.5-7b B=1:
+      48.9 tok/s Pallas vs 11.8 native grouped, bench_history r3).
+
+    The dense tree is cached (strong ref to the packed tree keeps its id
+    stable) so the temperature-fallback ladder re-uses one conversion.
+    """
+    if rows <= 16:
+        return params
+    key = id(params)
+    hit = _DENSE_DECODE_CACHE.get(key)
+    if hit is not None and hit[0] is params:
+        return hit[1]
+    qts = jax.tree_util.tree_leaves(
+        params, is_leaf=lambda n: isinstance(n, QuantTensor))
+    if not any(isinstance(t, QuantTensor) for t in qts):
+        return params
+    # fused qkv only helps the packed/Pallas path; split it back first
+    # (dense fused matmuls measured +1.9 ms/step at B=56)
+    dense = dequantize_params(unfuse_whisper_qkv(params), dtype=dtype)
+    if len(_DENSE_DECODE_CACHE) > 2:
+        _DENSE_DECODE_CACHE.clear()
+    _DENSE_DECODE_CACHE[key] = (params, dense)
+    return dense
+
+
 def dequantize_params(params, dtype=jnp.bfloat16):
     """Dequantize every QuantTensor in a pytree back to dense weights.
 
@@ -493,6 +602,63 @@ def fuse_qwen_projections(params: dict) -> dict:
     fused = dict(params)
     fused["layers"] = [fused_layer(blk) for blk in params["layers"]]
     return fused
+
+
+def unfuse_whisper_qkv(params: dict) -> dict:
+    """Inverse of :func:`fuse_whisper_qkv` (exact: row-slicing the stacked
+    QuantTensor and its per-row affines).
+
+    Why: fusing wins only on the PACKED/Pallas path (fewer kernel
+    launches); on dense-argument weights the fused (d, 3d) matmul measured
+    +1.9 ms/step vs split projections at B=56 (288.7 vs 314.9 RTF, r3) —
+    so maybe_dense_decode_params unfuses before dequantizing. Only valid
+    for whisper-style equal-width q/k/v (shape (3d, d)); non-matching
+    shapes are left alone.
+    """
+
+    def split_attn(attn: dict) -> dict:
+        qkv = attn.get("qkv")
+        if qkv is None or not isinstance(qkv.get("w"), QuantTensor):
+            return attn
+        w = qkv["w"]
+        out_dim, in_dim = w.shape
+        if out_dim != 3 * in_dim:
+            return attn  # not whisper-shaped (e.g. GQA fused qkv)
+        d = in_dim
+        gs = w.group_size
+        per_word = 32 // w.bits
+
+        def rows(lo, hi):
+            return QuantTensor(w.w_q[lo:hi], w.scales[lo:hi],
+                               w.biases[lo:hi], w.bits, gs)
+
+        b = qkv.get("b")
+        out = {
+            "q": {"w": rows(0, d)},
+            "k": {"w": rows(d, 2 * d)},  # whisper k has no bias
+            "v": {"w": rows(2 * d, 3 * d)},
+            "o": attn["o"],
+        }
+        if b is not None:
+            out["q"]["b"] = b[:d]
+            out["v"]["b"] = b[2 * d:]
+        return out
+
+    def walk_blocks(blocks: list) -> list:
+        out = []
+        for blk in blocks:
+            blk = dict(blk)
+            if "attn" in blk:
+                blk["attn"] = split_attn(blk["attn"])
+            out.append(blk)
+        return out
+
+    un = dict(params)
+    for part in ("encoder", "decoder"):
+        if part in un and isinstance(un[part], dict) and "blocks" in un[part]:
+            un[part] = dict(un[part])
+            un[part]["blocks"] = walk_blocks(un[part]["blocks"])
+    return un
 
 
 def fuse_whisper_qkv(params: dict) -> dict:
