@@ -165,17 +165,21 @@ def main() -> None:
                     "compile_s": 0.0, "note": f"{SAMPLE_LEN} steps"})
 
     # ---- isolate A: cross-attention, all 32 layers, 224 steps --------------
+    # NOTE: every isolate takes its big operands as jit ARGUMENTS — a
+    # closed-over device array is baked in as a compile-time constant and
+    # times impossibly fast (CLAUDE.md gotcha; a 7.3 GB captured cross-KV
+    # "streamed" at 29 GB/ms in one invalidated run).
     kr = jax.random.PRNGKey(1)
     xkv = [
         {"k8t": jax.random.randint(kr, (B, H, HD, TK_CROSS), -127, 127, jnp.int8),
-         "ks": jnp.ones((B, H, TK_CROSS, 1), jnp.float32) * 0.01,
+         "ks": jnp.ones((B, H, TK_CROSS, 1), jnp.bfloat16) * 0.01,
          "v8t": jax.random.randint(kr, (B, H, HD, TK_CROSS), -127, 127, jnp.int8),
-         "vs": jnp.ones((B, H, TK_CROSS, 1), jnp.float32) * 0.01}
+         "vs": jnp.ones((B, H, TK_CROSS, 1), jnp.bfloat16) * 0.01}
         for _ in range(L)
     ]
 
     @jax.jit
-    def cross_only(q0):
+    def cross_only(q0, xkv):
         def step(q):
             acc = q
             for lyr in xkv:
@@ -187,16 +191,16 @@ def main() -> None:
         return scan_n(step, q0)
 
     q0 = jnp.ones((B, H, 1, HD), jnp.bfloat16)
-    timeit("iso: cross-attn x32L", lambda: cross_only(q0),
+    timeit("iso: cross-attn x32L", lambda: cross_only(q0, xkv),
            lambda q: q[0, 0, 0, :1],
            note=f"{L}L x {SAMPLE_LEN} steps, Tk={TK_CROSS}")
 
     # ---- isolate B: self-attention + cache update, 32 layers ---------------
     self_cache = [
         {"k8t": jnp.zeros((B, H, HD, T_SELF), jnp.int8),
-         "ks": jnp.zeros((B, H, T_SELF, 1), jnp.float32),
+         "ks": jnp.zeros((B, H, T_SELF, 1), jnp.bfloat16),
          "v8t": jnp.zeros((B, H, HD, T_SELF), jnp.int8),
-         "vs": jnp.zeros((B, H, T_SELF, 1), jnp.float32)}
+         "vs": jnp.zeros((B, H, T_SELF, 1), jnp.bfloat16)}
         for _ in range(L)
     ]
 
@@ -227,9 +231,55 @@ def main() -> None:
            lambda q: q[0, 0, 0, :1],
            note=f"{L}L x {SAMPLE_LEN} steps, Talloc={T_SELF}")
 
+    # ---- isolate B2: self-attention READ only (static cache, no update) ----
+    @jax.jit
+    def self_read_only(carry0, cache):
+        def step(carry):
+            q, pos = carry
+            acc = q
+            for e in cache:
+                out = attention_int8_auto(
+                    q, e["k8t"], e["ks"], e["v8t"], e["vs"], pos=pos, causal=True)
+                acc = acc + out
+            return (acc * jnp.bfloat16(1e-3), pos + 1)
+        return scan_n(step, carry0)[0]
+
+    timeit("iso: self-attn read x32L",
+           lambda: self_read_only((q0, jnp.int32(N_INIT)), self_cache),
+           lambda q: q[0, 0, 0, :1],
+           note="attention only, no cache update")
+
+    # ---- isolate B3: cache UPDATE only (scatter, no attention) -------------
+    @jax.jit
+    def self_update_only(carry0):
+        from whisper_mlx_tpu.ops.kv_quant import quantize_kv
+
+        def step(carry):
+            q, cache, pos = carry
+            new_cache = []
+            for entry in cache:
+                k8n, ksn = quantize_kv(q)
+                upd = lambda buf, new: jax.lax.dynamic_update_slice_in_dim(
+                    buf, new, pos, axis=2)
+                updt = lambda buf, new: jax.lax.dynamic_update_slice_in_dim(
+                    buf, jnp.swapaxes(new, 2, 3), pos, axis=3)
+                e = {"k8t": updt(entry["k8t"], k8n), "ks": upd(entry["ks"], ksn),
+                     "v8t": updt(entry["v8t"], k8n), "vs": upd(entry["vs"], ksn)}
+                new_cache.append(e)
+            # consume one byte per layer so nothing is DCE'd
+            acc = q + sum(e["k8t"][:, :1, :1, :1].astype(jnp.bfloat16)
+                          for e in new_cache)[..., :1] * jnp.bfloat16(1e-6)
+            return (acc * jnp.bfloat16(1.0), new_cache, pos + 1)
+        return scan_n(step, carry0)[0]
+
+    timeit("iso: self-cache update x32L",
+           lambda: self_update_only((q0, self_cache, jnp.int32(N_INIT))),
+           lambda q: q[0, 0, 0, :1],
+           note="time-minor scatter writes only")
+
     # ---- isolate C: weight matmul chain (no attention math) ----------------
     @jax.jit
-    def weights_only(x0):
+    def weights_only(x0, params):
         p = params["decoder"]
 
         def step(x):
@@ -247,21 +297,21 @@ def main() -> None:
         return scan_n(step, x0)
 
     x0 = jnp.ones((B, 1, D), jnp.bfloat16)
-    timeit("iso: weights+head x32L", lambda: weights_only(x0),
+    timeit("iso: weights+head x32L", lambda: weights_only(x0, params),
            lambda x: x[0, 0, :1],
            note="all decoder matmuls incl. logits head")
 
     # ---- isolate D: logits head alone --------------------------------------
     @jax.jit
-    def head_only(x0):
-        emb = params["decoder"]["token_emb"]
-
+    def head_only(x0, emb):
         def step(x):
             logits = jnp.einsum("btd,vd->btv", x, emb.astype(x.dtype))
             return x + logits[..., :1] * jnp.bfloat16(1e-6)
         return scan_n(step, x0)
 
-    timeit("iso: logits head", lambda: head_only(x0), lambda x: x[0, 0, :1],
+    timeit("iso: logits head",
+           lambda: head_only(x0, params["decoder"]["token_emb"]),
+           lambda x: x[0, 0, :1],
            note=f"(B,1,{D})x({config.n_vocab},{D})")
 
     # ---- isolate E: filters + sampling --------------------------------------
