@@ -40,6 +40,30 @@ def test_quant_matmul_pallas_int8_unaligned():
     np.testing.assert_allclose(out, ref, atol=2e-4, rtol=2e-4)
 
 
+def test_quant_matmul_mb_bitexact_vs_production():
+    """Multi-buffered DMA-ring kernel == production kernel, bit-exact.
+
+    Small shapes: interpret-mode DMA/semaphore emulation is slow on CPU.
+    Covers depth<n_tiles (ring reuse), depth==n_tiles, and unpadded N."""
+    from whisper_mlx_tpu.ops.quant_pallas_mb import quant_matmul_mb
+
+    rng = np.random.default_rng(2)
+    for (M, K, N, bits, tile, depth) in [
+        (1, 128, 384, 4, 128, 2),   # 3 tiles, ring wraps
+        (3, 128, 256, 8, 128, 2),   # depth == n_tiles
+        (2, 128, 200, 4, 128, 2),   # N padded
+    ]:
+        w = rng.standard_normal((N, K)).astype(np.float32)
+        x = rng.standard_normal((M, K)).astype(np.float32)
+        w_q, scales, biases = quantize(w, bits=bits, group_size=64)
+        qt = QuantTensor(jnp.asarray(w_q), jnp.asarray(scales),
+                         jnp.asarray(biases), bits, 64)
+        ref = np.asarray(quant_matmul_pallas(jnp.asarray(x), qt, interpret=True))
+        out = np.asarray(quant_matmul_mb(jnp.asarray(x), qt, tile_n=tile,
+                                         depth=depth, interpret=True))
+        np.testing.assert_array_equal(out, ref)
+
+
 def _sdpa_ref(q, k, v, causal=False):
     s = np.einsum("bhqd,bhkd->bhqk", q, k).astype(np.float32)
     if causal:
