@@ -24,6 +24,10 @@ lax.scan with serial feedback — CLAUDE.md measurement gotchas apply):
   upd_only    dus column writes only (k+v, 32L) — the RMW cost
   upd_td      dus into (B, H, T, d) layout (writes span 4× fewer tiles)
   base_rw     read+write per layer (the real decode pattern)
+  tmajor_ro   TIME-MAJOR cache (T, B, H·d): attention as one elementwise
+              stream (broadcast mul + reduce; no batched matvec at all)
+  upd_tmajor  dus of one (1, B, H·d) plane — contiguous whole-tile write
+  tmajor_rw   time-major read+write (the candidate redesign)
 
 Run: python scripts/probe_self_attn.py   (knobs: PROF_ONLY, PROF_REPS,
 BENCH_BATCH, BENCH_SAMPLE_LEN)
@@ -305,6 +309,102 @@ def main():
         t = timeit("base_rw", lambda: base_rw((q0, caches, jnp.int32(3)), sks),
                    lambda o: o[0, 0, 0, :1],
                    note=f"{gbs(T):.2f} GB/step read + RMW writes")
+        print(f"#   -> {gbs(T) * STEPS / t:.0f} GB/s (reads only counted)",
+              file=sys.stderr)
+
+    # ---- TIME-MAJOR cache: (T, B, H*d) — elementwise-stream attention -------
+    def tmajor_attn(q, kT, ksT, vT, vsT, pos):
+        """q (B,H,1,d); kT/vT (T, B, H*d) int8; ksT/vsT (T, B, H) bf16.
+
+        scores[t,b,h] = ks[t,b,h] * sum_d q[b,h,d] * k[t,b,h,d] — one
+        broadcast multiply over the cache in ITS OWN layout order plus a
+        minor-axis reduce; no batched matvec. out[b,h,d] =
+        sum_t w[t,b,h] * vs[t,b,h] * v[t,b,h,d] — major-axis reduce."""
+        kTv = kT.reshape(T, B, H, HD)
+        p = q[None, :, :, 0, :].astype(jnp.bfloat16) * kTv.astype(jnp.bfloat16)
+        s = jnp.sum(p, axis=-1, dtype=jnp.float32)  # (T, B, H)
+        s = s * ksT.astype(jnp.float32)
+        t_idx = jnp.arange(T)[:, None, None]
+        s = jnp.where(t_idx <= pos, s, -jnp.inf)
+        w = jax.nn.softmax(s, axis=0)  # over T
+        wv = (w * vsT.astype(jnp.float32)).astype(jnp.bfloat16)
+        vTv = vT.reshape(T, B, H, HD)
+        o = jnp.sum(wv[..., None] * vTv.astype(jnp.bfloat16), axis=0,
+                    dtype=jnp.float32)  # (B, H, d)
+        return o[:, :, None, :].astype(q.dtype)
+
+    if want("tmajor_ro"):
+        kT = jax.random.randint(jax.random.fold_in(kr, 11), (L, T, B, H * HD),
+                                -127, 127, jnp.int8)
+        ksT = jnp.full((L, T, B, H), 0.01, jnp.bfloat16)
+
+        @jax.jit
+        def tmajor_ro(q0, kT, ksT):
+            def step(carry):
+                q, pos = carry
+                acc = q
+                for i in range(L):
+                    acc = acc + tmajor_attn(q, kT[i], ksT[i], kT[i], ksT[i], pos)
+                return (acc * jnp.bfloat16(1e-3) + jnp.bfloat16(1.0), pos + 1)
+            return scan_n(step, (q0, jnp.int32(3)))[0]
+        t = timeit("tmajor_ro", lambda: tmajor_ro(q0, kT, ksT),
+                   lambda o: o[0, 0, 0, :1], note=f"{gbs(T):.2f} GB/step")
+        print(f"#   -> {gbs(T) * STEPS / t:.0f} GB/s", file=sys.stderr)
+        del kT, ksT
+
+    if want("upd_tmajor"):
+        kT0 = jax.random.randint(jax.random.fold_in(kr, 12), (L, T, B, H * HD),
+                                 -127, 127, jnp.int8)
+
+        @jax.jit
+        def upd_tmajor(carry0):
+            def step(carry):
+                q, cache, pos = carry
+                kq = jnp.clip(jnp.round(q * 100), -127, 127).astype(jnp.int8)
+                plane = kq.reshape(1, B, H * HD)
+                new = []
+                for ke, ve in cache:
+                    ke = jax.lax.dynamic_update_slice_in_dim(ke, plane, pos, axis=0)
+                    ve = jax.lax.dynamic_update_slice_in_dim(ve, plane, pos, axis=0)
+                    new.append((ke, ve))
+                probe = sum(e[0][0, 0, :1].astype(jnp.bfloat16) for e in new)
+                return (q * jnp.bfloat16(1.0)
+                        + probe[None, None] * jnp.bfloat16(1e-6),
+                        new, (pos + 1) % T)
+            return scan_n(step, carry0)[0]
+        caches = [(kT0[i], kT0[i]) for i in range(L)]
+        t = timeit("upd_tmajor", lambda: upd_tmajor((q0, caches, jnp.int32(3))),
+                   lambda o: o[0, 0, 0, :1], note="contiguous plane writes")
+        del kT0, caches
+
+    if want("tmajor_rw"):
+        kT0 = jax.random.randint(jax.random.fold_in(kr, 13), (L, T, B, H * HD),
+                                 -127, 127, jnp.int8)
+        ksT0 = jnp.full((L, T, B, H), 0.01, jnp.bfloat16)
+
+        @jax.jit
+        def tmajor_rw(carry0):
+            def step(carry):
+                q, cache, pos = carry
+                kq = jnp.clip(jnp.round(q * 100), -127, 127).astype(jnp.int8)
+                plane = kq.reshape(1, B, H * HD)
+                splane = jnp.full((1, B, H), 0.01, jnp.bfloat16)
+                acc = q
+                new = []
+                for ke, ks, ve, vs in cache:
+                    ke = jax.lax.dynamic_update_slice_in_dim(ke, plane, pos, axis=0)
+                    ks = jax.lax.dynamic_update_slice_in_dim(ks, splane, pos, axis=0)
+                    ve = jax.lax.dynamic_update_slice_in_dim(ve, plane, pos, axis=0)
+                    vs = jax.lax.dynamic_update_slice_in_dim(vs, splane, pos, axis=0)
+                    new.append((ke, ks, ve, vs))
+                    acc = acc + tmajor_attn(q, ke, ks, ve, vs, pos)
+                return (acc * jnp.bfloat16(1e-3) + jnp.bfloat16(1.0),
+                        new, (pos + 1) % T)
+            return scan_n(step, carry0)[0]
+        caches = [(kT0[i], ksT0[i], kT0[i], ksT0[i]) for i in range(L)]
+        t = timeit("tmajor_rw", lambda: tmajor_rw((q0, caches, jnp.int32(3))),
+                   lambda o: o[0, 0, 0, :1],
+                   note=f"{gbs(T):.2f} GB/step + plane writes")
         print(f"#   -> {gbs(T) * STEPS / t:.0f} GB/s (reads only counted)",
               file=sys.stderr)
 

@@ -376,12 +376,23 @@ def quant_matmul(x: jnp.ndarray, q, backend: str = "auto") -> jnp.ndarray:
         rows = 1
         for d in x.shape[:-1]:
             rows *= d
+        max_rows = int(os.environ.get("WTPU_QMM_PALLAS_MAX_ROWS", "512"))
         backend = (
             "pallas"
-            if jax.default_backend() == "tpu" and rows <= 512
+            if jax.default_backend() == "tpu" and rows <= max_rows
             else "xla"
         )
     if backend == "pallas":
+        mb = os.environ.get("WTPU_QMM_MB", "")
+        if mb:
+            # opt-in multi-buffered DMA-ring kernel (ops/quant_pallas_mb):
+            # "depth" or "depth,tile_n" — e2e sweep scripts/bench_quant_mb.py
+            from whisper_mlx_tpu.ops.quant_pallas_mb import quant_matmul_mb
+
+            parts = mb.split(",")
+            depth = int(parts[0])
+            tile_n = int(parts[1]) if len(parts) > 1 else 512
+            return quant_matmul_mb(x, q, tile_n=tile_n, depth=depth)
         from whisper_mlx_tpu.ops.quant_pallas import quant_matmul_pallas
 
         return quant_matmul_pallas(x, q)
