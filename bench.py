@@ -198,9 +198,14 @@ def main() -> None:
     self_kv = int(os.environ.get("BENCH_SELF_KV", "8"))  # int8 self-KV
     beam = int(os.environ.get("BENCH_BEAM", "0"))  # 0=greedy, N=beam size
 
+    # self-KV layout: "tminor" (default) or "tmajor" (BENCH_SELF_LAYOUT /
+    # WTPU_SELF_KV_LAYOUT; ops/kv_quant.py attention_int8_tmajor)
+    self_layout = os.environ.get(
+        "BENCH_SELF_LAYOUT", os.environ.get("WTPU_SELF_KV_LAYOUT", "tminor"))
     config = dataclasses.replace(
         WHISPER_CONFIGS[model_name], dtype=jnp.bfloat16,
         flash_attention=use_flash, kv_bits=kv_bits, self_kv_bits=self_kv,
+        self_kv_layout=self_layout,
     )
 
     # real large-v3 special-token layout over a byte-level base BPE
@@ -258,6 +263,8 @@ def main() -> None:
                 **line, "batch": batch, "sample_len": sample_len,
                 "flash": use_flash, "quant": quant_bits, "kv": kv_bits,
                 "self_kv": self_kv, "beam": beam, "best_s": round(best, 3),
+                **({"self_layout": self_layout}
+                   if self_layout != "tminor" else {}),
             }) + "\n")
     except OSError:
         pass

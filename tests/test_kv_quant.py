@@ -270,3 +270,53 @@ def test_beamflat_attention_equals_gathered():
     want_fp, _ = attention(q, g_kf, g_vf, mask)
     np.testing.assert_allclose(np.asarray(got_fp), np.asarray(want_fp),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_tmajor_attention_matches_auto():
+    """attention_int8_tmajor == attention_int8_auto on the same quantized
+    cache, both tq==1 (decode step) and tq>1 (prefill), fp32 tolerance."""
+    from whisper_mlx_tpu.ops.kv_quant import attention_int8_auto, attention_int8_tmajor
+
+    rng = np.random.default_rng(3)
+    b, h, T, d = 2, 4, 32, 16
+    k8 = rng.integers(-127, 128, size=(b, h, T, d)).astype(np.int8)
+    v8 = rng.integers(-127, 128, size=(b, h, T, d)).astype(np.int8)
+    ks = rng.uniform(0.01, 0.1, size=(b, h, T, 1)).astype(np.float32)
+    vs = rng.uniform(0.01, 0.1, size=(b, h, T, 1)).astype(np.float32)
+    k8t = jnp.swapaxes(jnp.asarray(k8), 2, 3)
+    v8t = jnp.swapaxes(jnp.asarray(v8), 2, 3)
+    kT = jnp.asarray(k8.transpose(2, 0, 1, 3).reshape(T, b, h * d))
+    vT = jnp.asarray(v8.transpose(2, 0, 1, 3).reshape(T, b, h * d))
+    ksT = jnp.asarray(ks[..., 0].transpose(2, 0, 1))
+    vsT = jnp.asarray(vs[..., 0].transpose(2, 0, 1))
+
+    for tq, pos in [(1, 7), (1, T - 1), (5, 3)]:
+        q = jnp.asarray(rng.standard_normal((b, h, tq, d)).astype(np.float32) * 0.3)
+        ref = np.asarray(attention_int8_auto(
+            q, k8t, jnp.asarray(ks), v8t, jnp.asarray(vs),
+            pos=jnp.int32(pos), causal=True))
+        out = np.asarray(attention_int8_tmajor(
+            q, kT, ksT, vT, vsT, pos=jnp.int32(pos)))
+        np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-5)
+
+
+def test_tmajor_layout_decode_token_identical(tiny):
+    """Full decode with the time-major self cache == time-minor tokens."""
+    params, config, tok, mel = tiny
+    base = dataclasses.replace(config, kv_bits=8, self_kv_bits=8)
+    tmaj = dataclasses.replace(base, self_kv_layout="tmajor")
+    r_min = decode(params, mel, tok, base, DecodingOptions(sample_len=12))
+    r_maj = decode(params, mel, tok, tmaj, DecodingOptions(sample_len=12))
+    for a, b in zip(r_min, r_maj):
+        assert a.tokens == b.tokens
+        assert abs(a.avg_logprob - b.avg_logprob) < 1e-3
+
+
+def test_tmajor_layout_beam_falls_back(tiny):
+    """Beam search under tmajor config still works (forces its own layout)."""
+    params, config, tok, mel = tiny
+    cfg = dataclasses.replace(config, kv_bits=8, self_kv_bits=8,
+                              self_kv_layout="tmajor")
+    r = decode(params, mel, tok, cfg, DecodingOptions(sample_len=8, beam_size=2))
+    assert len(r) == 2
+    assert all(x.tokens for x in r)

@@ -95,6 +95,12 @@ def beam_decode(
     # cross-attention (share_xkv_groups) — replicating them multiplied the
     # decode loop's dominant HBM stream by B.
     xkv = cross_kv(params, audio_states, config)
+    if config.self_kv_layout != "tminor":
+        # beam converts the prefilled cache to its own lane-interleaved
+        # FLAT layout below; the greedy tmajor layout does not apply here
+        import dataclasses
+
+        config = dataclasses.replace(config, self_kv_layout="tminor")
     cache = init_kv_cache(config, NB, max_len=n_init + sample_len)
     t_alloc = (cache[0]["k8t"].shape[3] if "k8t" in cache[0]
                else cache[0]["k"].shape[2])

@@ -164,12 +164,12 @@ def greedy_decode(
 
         mid = jax.lax.while_loop(cond1, body, state)
         big = init_kv_cache(config, batch, max_len=horizon)
+        t_axis = {"k8t": 3, "v8t": 3, "kT": 0, "ksT": 0, "vT": 0, "vsT": 0}
         grown = []
         for small, dst in zip(mid.cache, big):
             grown.append({
                 key: jax.lax.dynamic_update_slice_in_dim(
-                    dst[key], small[key], 0,
-                    axis=3 if key in ("k8t", "v8t") else 2)
+                    dst[key], small[key], 0, axis=t_axis.get(key, 2))
                 for key in small
             })
         state = mid._replace(cache=grown)

@@ -39,6 +39,9 @@ Params = dict[str, Any]
 # kernel selection (ops/kv_quant.py) make one consistent static decision —
 # flipping the env mid-process can otherwise desync jit retraces (ADVICE r2).
 _DECODE_ATTN_KERNEL_DEFAULT = os.environ.get("WTPU_DECODE_ATTN_KERNEL") == "1"
+# self-KV cache layout: "tminor" (b,h,d,T) or "tmajor" (T,b,h*d) — one
+# static decision read once at import (same rationale as the kernel flag)
+_SELF_KV_LAYOUT_DEFAULT = os.environ.get("WTPU_SELF_KV_LAYOUT", "tminor")
 
 
 @dataclasses.dataclass(frozen=True)
@@ -65,6 +68,11 @@ class WhisperConfig:
     # int8 self-attention KV cache (smaller win; separate flag so each can
     # be benched/validated independently)
     self_kv_bits: int = 0
+    # self-KV storage layout (quantized caches only): "tminor" = (b,h,d,T)
+    # batched-matvec reads + per-column RMW writes; "tmajor" = (T,b,h·d)
+    # elementwise-stream reads + contiguous plane writes
+    # (ops/kv_quant.py attention_int8_tmajor)
+    self_kv_layout: str = _SELF_KV_LAYOUT_DEFAULT
     # fused Pallas decode-attention kernel (ops/decode_attention.py) — one
     # static decision threaded to cache layout AND kernel selection; default
     # comes from WTPU_DECODE_ATTN_KERNEL read once at import
@@ -356,6 +364,18 @@ def init_kv_cache(config: WhisperConfig, batch: int, dtype=None,
         kt_shape = (batch, config.n_text_head, hd, t_alloc)
         sshape = (batch, config.n_text_head, t_alloc, 1)
         qdt = jnp.int8 if config.self_kv_bits == 8 else jnp.int4
+        if config.self_kv_layout == "tmajor":
+            # (T, b, h·d): step writes are contiguous planes, reads one
+            # elementwise stream (ops/kv_quant.py attention_int8_tmajor)
+            kT_shape = (t_alloc, batch, config.n_text_head * hd)
+            sT_shape = (t_alloc, batch, config.n_text_head)
+            return [
+                {"kT": jnp.zeros(kT_shape, qdt),
+                 "ksT": jnp.zeros(sT_shape, jnp.bfloat16),
+                 "vT": jnp.zeros(kT_shape, qdt),
+                 "vsT": jnp.zeros(sT_shape, jnp.bfloat16)}
+                for _ in range(config.n_text_layer)
+            ]
         return [
             {"k8t": jnp.zeros(kt_shape, qdt), "ks": jnp.zeros(sshape, jnp.bfloat16),
              "v8t": jnp.zeros(kt_shape, qdt), "vs": jnp.zeros(sshape, jnp.bfloat16)}
@@ -403,6 +423,8 @@ def decode_step(
     # cache allocation, not n_text_ctx (init_kv_cache max_len).
     if "k8t" in kv_cache[0]:
         t_cache = kv_cache[0]["k8t"].shape[3]
+    elif "kT" in kv_cache[0]:  # time-major quantized self cache
+        t_cache = kv_cache[0]["kT"].shape[0]
     elif "k8f" in kv_cache[0]:  # beam lane-interleaved flat (T*g columns)
         t_cache = kv_cache[0]["k8f"].shape[3] // share_xkv_groups
     elif "kf" in kv_cache[0]:
@@ -478,6 +500,36 @@ def decode_step(
                 attn_out = attention_fp_beamflat(
                     q, entry["kf"], entry["vf"], beam_ancestry, pos, g,
                 )
+        elif "kT" in kv_cache[i]:
+            # TIME-MAJOR quantized self cache: contiguous plane writes +
+            # elementwise-stream reads (ops/kv_quant.py attention_int8_tmajor
+            # docstring has the traffic math). Greedy/best_of only — beam
+            # uses the lane-interleaved flat cache above.
+            from whisper_mlx_tpu.ops.kv_quant import (
+                attention_int8_tmajor,
+                quantize_kv,
+            )
+
+            assert beam_ancestry is None, "tmajor layout has no ancestry mode"
+            scale = q.shape[-1] ** -0.25
+            k8n, ksn = quantize_kv(k_new * scale, bits=config.self_kv_bits)
+            v8n, vsn = quantize_kv(v_new, bits=config.self_kv_bits)
+            # (b, h, t, d) -> (t, b, h·d) planes; (b, h, t, 1) -> (t, b, h)
+            plane = lambda a: a.transpose(2, 0, 1, 3).reshape(t, b, -1)
+            splane = lambda s: s[..., 0].transpose(2, 0, 1)
+            updT = lambda buf, new: jax.lax.dynamic_update_slice_in_dim(
+                buf, new.astype(buf.dtype), pos, axis=0)
+            entry = {
+                "kT": updT(kv_cache[i]["kT"], plane(k8n)),
+                "ksT": updT(kv_cache[i]["ksT"], splane(ksn)),
+                "vT": updT(kv_cache[i]["vT"], plane(v8n)),
+                "vsT": updT(kv_cache[i]["vsT"], splane(vsn)),
+            }
+            new_cache.append(entry)
+            attn_out = attention_int8_tmajor(
+                q * scale, entry["kT"], entry["ksT"], entry["vT"],
+                entry["vsT"], pos=pos,
+            )
         elif config.self_kv_bits in (4, 8):
             from whisper_mlx_tpu.ops.kv_quant import attention_int8_auto, quantize_kv
 

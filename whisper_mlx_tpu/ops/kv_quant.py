@@ -111,6 +111,56 @@ def attention_int8_auto(
     return out.astype(q.dtype)
 
 
+def attention_int8_tmajor(
+    q: jnp.ndarray,     # (b, h, tq, d) — pre-scaled queries
+    kT: jnp.ndarray,    # (T, b, h*d) int8 — TIME-MAJOR cache
+    ksT: jnp.ndarray,   # (T, b, h) bf16 key scales
+    vT: jnp.ndarray,    # (T, b, h*d) int8
+    vsT: jnp.ndarray,   # (T, b, h) bf16 value scales
+    pos: jnp.ndarray | int,
+) -> jnp.ndarray:
+    """Causal self-attention over a TIME-MAJOR quantized cache.
+
+    The default time-minor cache (b, h, d, T) pays twice at decode shapes:
+    the per-step column write is a read-modify-write of every (32, 128)
+    int8 tile spanning the (b·h·d) sublanes (~9.2 MB/step/array at B=56),
+    and the T=256 batched matvec leaves XLA with 16 KB-per-(b,h) tiles
+    (~200 GB/s measured vs 531 for the same einsum at T=1500). Time-major
+    storage makes the step write ONE contiguous (1, b, h·d) plane (~80 KB
+    of whole tiles) and the read a single elementwise broadcast-multiply
+    + reduce over the cache in its own layout order — no batched matvec.
+    Math identical to :func:`attention_int8_auto` (scale-folded exact
+    attention over the dequantized grid); fp32 products, fp32 accumulate.
+
+    tq == 1 is the hot decode step; tq > 1 (prefill, once per window)
+    takes an einsum of the same algebra.
+    """
+    b, h, tq, d = q.shape
+    T = kT.shape[0]
+    kv = kT.reshape(T, b, h, d)
+    vv = vT.reshape(T, b, h, d)
+    if tq == 1:
+        p = q[None, :, :, 0, :].astype(jnp.float32) * kv.astype(jnp.float32)
+        s = jnp.sum(p, axis=-1)  # (T, b, h)
+        s = s * ksT.astype(jnp.float32)
+        t_idx = jnp.arange(T)[:, None, None]
+        s = jnp.where(t_idx <= pos, s, -jnp.inf)
+        w = jax.nn.softmax(s, axis=0)
+        wv = w * vsT.astype(jnp.float32)
+        o = jnp.sum(wv[..., None] * vv.astype(jnp.float32), axis=0)  # (b, h, d)
+        return o[:, :, None, :].astype(q.dtype)
+    s = jnp.einsum("bhid,tbhd->tbhi", q.astype(jnp.float32),
+                   kv.astype(jnp.float32))
+    s = s * ksT.astype(jnp.float32)[..., None]
+    t_idx = jnp.arange(T)[:, None, None, None]
+    q_idx = pos + jnp.arange(tq)[None, None, None, :]
+    s = jnp.where(t_idx <= q_idx, s, -jnp.inf)
+    w = jax.nn.softmax(s, axis=0)
+    wv = w * vsT.astype(jnp.float32)[..., None]
+    o = jnp.einsum("tbhi,tbhd->bhid", wv, vv.astype(jnp.float32))
+    return o.astype(q.dtype)
+
+
 def attention_int8_grouped(
     q: jnp.ndarray,        # (n, g, h, tq, d) — g beams/candidates per window
     k8t: jnp.ndarray,      # (n, h, d, tk) int8 — SHARED across the g axis
