@@ -320,3 +320,23 @@ def test_tmajor_layout_beam_falls_back(tiny):
     r = decode(params, mel, tok, cfg, DecodingOptions(sample_len=8, beam_size=2))
     assert len(r) == 2
     assert all(x.tokens for x in r)
+
+
+def test_tmajor_phase_ladder_token_identical(tiny):
+    """Growing-cache phase ladder (64/128/192) == single-allocation decode."""
+    import os
+
+    params, config, tok, mel = tiny
+    tmaj = dataclasses.replace(config, kv_bits=8, self_kv_bits=8,
+                               self_kv_layout="tmajor")
+    # sample_len=140 crosses the 64 and 128 phase boundaries
+    opts = DecodingOptions(sample_len=140)
+    r_ladder = decode(params, mel, tok, tmaj, opts)
+    os.environ["WTPU_SELF_PHASES"] = ""  # single phase, exact horizon
+    try:
+        r_flat = decode(params, mel, tok, tmaj, opts)
+    finally:
+        del os.environ["WTPU_SELF_PHASES"]
+    for a, b in zip(r_ladder, r_flat):
+        assert a.tokens == b.tokens
+        assert abs(a.avg_logprob - b.avg_logprob) < 1e-3

@@ -39,7 +39,7 @@ class GreedyResult(NamedTuple):
 @partial(
     jax.jit,
     static_argnames=("config", "filter_cfg", "sample_len", "sot_index",
-                     "share_xkv_groups", "grow_cache"),
+                     "share_xkv_groups", "grow_cache", "phases"),
 )
 def greedy_decode(
     params: Params,
@@ -56,6 +56,7 @@ def greedy_decode(
     no_speech_token: int,
     share_xkv_groups: int = 1,
     grow_cache: bool = True,
+    phases: tuple[int, ...] | None = None,
 ) -> GreedyResult:
     """``share_xkv_groups=g``: audio_states holds batch/g windows whose
     cross K/V are SHARED by g consecutive decode rows (best_of candidates
@@ -72,19 +73,23 @@ def greedy_decode(
     # Pallas kernel wins at few rows).
     xkv = cross_kv(params, audio_states, config)
     # right-size the cache to the real horizon — every step re-reads it all.
-    # Additionally run TWO-PHASE: most of the decode happens at small
-    # positions, so streaming the full-horizon cache from step 0 wastes
-    # ~27% of the self-attention HBM stream. Phase 1 decodes over a
-    # 128-position cache; once the write position reaches it, the cache is
-    # copied (one ~ms copy) into the full-horizon allocation and the same
-    # loop body resumes. Identical math — only the causal mask length and
-    # dead-position traffic change.
     horizon = n_init + sample_len
-    t_phase1 = 128
-    two_phase = (grow_cache and n_init + 1 < t_phase1
-                 and horizon > t_phase1 + 32)
+    # growing-cache phase ladder: decode with progressively larger
+    # allocations so early steps never stream dead tail positions. The
+    # time-minor layout rounds allocations to the 128 lane tile (one
+    # boundary is all that helps at a 224-step horizon); time-major has no
+    # lane constraint on T, so a finer ladder pays (exact-horizon final
+    # phase). ``phases=None`` resolves the default here; callers override
+    # via the STATIC arg (decoding/task.py threads WTPU_SELF_PHASES so the
+    # choice participates in the jit cache key).
+    if phases is None:
+        phases = ((64, 128, 192) if config.self_kv_layout == "tmajor"
+                  else (128,))
+    phase_bounds = [b for b in sorted(set(phases))
+                    if grow_cache and n_init + 1 < b and horizon > b + 32]
     cache = init_kv_cache(
-        config, batch, max_len=t_phase1 if two_phase else horizon
+        config, batch,
+        max_len=phase_bounds[0] if phase_bounds else horizon
     )
 
     # ---- prefill ----------------------------------------------------------
@@ -158,13 +163,14 @@ def greedy_decode(
             rng=key,
         )
 
-    if two_phase:
-        def cond1(s: State):
-            return (s.cur_len < min(t_phase1, max_len)) & ~jnp.all(s.done)
+    t_axis = {"k8t": 3, "v8t": 3, "kT": 0, "ksT": 0, "vT": 0, "vsT": 0}
+    for i, pb in enumerate(phase_bounds):
+        def cond_p(s: State, _pb=pb):
+            return (s.cur_len < min(_pb, max_len)) & ~jnp.all(s.done)
 
-        mid = jax.lax.while_loop(cond1, body, state)
-        big = init_kv_cache(config, batch, max_len=horizon)
-        t_axis = {"k8t": 3, "v8t": 3, "kT": 0, "ksT": 0, "vT": 0, "vsT": 0}
+        mid = jax.lax.while_loop(cond_p, body, state)
+        nxt = phase_bounds[i + 1] if i + 1 < len(phase_bounds) else horizon
+        big = init_kv_cache(config, batch, max_len=nxt)
         grown = []
         for small, dst in zip(mid.cache, big):
             grown.append({

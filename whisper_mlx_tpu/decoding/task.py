@@ -56,6 +56,21 @@ class DecodingResult:
     compression_ratio: float
 
 
+def _self_phases() -> tuple[int, ...] | None:
+    """Growing-cache phase ladder override (WTPU_SELF_PHASES="64,128,192").
+
+    Read HERE, outside jit, so the choice is a STATIC greedy_decode arg and
+    participates in the jit cache key (an in-trace env read would bake the
+    first value into every later call). None → layout default (greedy.py);
+    "" → single exact-horizon allocation."""
+    import os
+
+    raw = os.environ.get("WTPU_SELF_PHASES")
+    if raw is None:
+        return None
+    return tuple(int(x) for x in raw.split(",") if x)
+
+
 def compression_ratio(text: str) -> float:
     """zlib ratio used by the hallucination heuristics (ratio > 2.4 ⇒ retry)."""
     data = text.encode("utf-8")
@@ -232,6 +247,7 @@ def decode(
         sot_index=sot_index,
         no_speech_token=tokenizer.no_speech,
         share_xkv_groups=n_candidates,
+        phases=_self_phases(),
     )
 
     tokens_np = np.asarray(result.tokens)

@@ -366,7 +366,12 @@ def init_kv_cache(config: WhisperConfig, batch: int, dtype=None,
         qdt = jnp.int8 if config.self_kv_bits == 8 else jnp.int4
         if config.self_kv_layout == "tmajor":
             # (T, b, h·d): step writes are contiguous planes, reads one
-            # elementwise stream (ops/kv_quant.py attention_int8_tmajor)
+            # elementwise stream (ops/kv_quant.py attention_int8_tmajor).
+            # T is the MAJOR dim — no lane-tile rounding needed, so the
+            # allocation tracks the exact horizon (dead positions cost
+            # full-stream reads every step).
+            if max_len is not None:
+                t_alloc = min(max_len, config.n_text_ctx)
             kT_shape = (t_alloc, batch, config.n_text_head * hd)
             sT_shape = (t_alloc, batch, config.n_text_head)
             return [
