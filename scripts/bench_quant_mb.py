@@ -47,12 +47,25 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 # qwen2.5-7b shapes: hidden 3584, q 4096(qkv fused 4608+1024)=; use the two
 # dominant streams: attn-out-ish square and the fused gate_up + down FFN.
-SHAPES = [
-    ("qkv", 3584, 4608 + 512 + 512),
-    ("o", 4096, 3584),
-    ("gate_up", 3584, 2 * 18944),
-    ("down", 18944, 3584),
-]
+# QB_SHAPES=whisper switches to the large-v3 decoder set (32L; QB_M=56).
+if os.environ.get("QB_SHAPES") == "whisper":
+    SHAPES = [
+        ("qkv", 1280, 3840),
+        ("o", 1280, 1280),
+        ("xq", 1280, 1280),
+        ("xo", 1280, 1280),
+        ("fc1", 1280, 5120),
+        ("fc2", 5120, 1280),
+    ]
+    PER_LAYER = 32
+else:
+    SHAPES = [
+        ("qkv", 3584, 4608 + 512 + 512),
+        ("o", 4096, 3584),
+        ("gate_up", 3584, 2 * 18944),
+        ("down", 18944, 3584),
+    ]
+    PER_LAYER = 28
 
 results = []
 
@@ -114,7 +127,7 @@ def main():
 
     print("# --- per-layer totals (4 matmuls) ---", file=sys.stderr)
     for k, v in sorted(total.items(), key=lambda kv: kv[1]):
-        print(f"#   {k:20s} {v * 1e6:9.1f} us  (28L -> {v * 28 * 1e3:.1f} ms/step)",
+        print(f"#   {k:20s} {v * 1e6:9.1f} us  ({PER_LAYER}L -> {v * PER_LAYER * 1e3:.1f} ms/step)",
               file=sys.stderr)
     print(json.dumps({"bench": results, "M": M, "iters": ITERS}))
 

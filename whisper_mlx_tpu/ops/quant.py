@@ -531,7 +531,10 @@ def maybe_dense_decode_params(params, rows: int, dtype=jnp.bfloat16):
     The dense tree is cached (strong ref to the packed tree keeps its id
     stable) so the temperature-fallback ladder re-uses one conversion.
     """
-    if rows <= 16:
+    # WTPU_DENSE_ROWS_MIN overrides the measured 16-row boundary (set huge
+    # to force packed residency at batch — re-measuring the policy against
+    # new kernels, e.g. the multi-buffered DMA ring in quant_pallas_mb)
+    if rows <= int(os.environ.get("WTPU_DENSE_ROWS_MIN", "16")):
         return params
     key = id(params)
     hit = _DENSE_DECODE_CACHE.get(key)
