@@ -417,3 +417,25 @@ def test_unfuse_whisper_qkv_roundtrip(tiny):
     r_dense = decode(dense, mel, tok, config, DecodingOptions(sample_len=8))
     r_packed = decode(qparams, mel, tok, config, DecodingOptions(sample_len=8))
     assert [r.tokens for r in r_dense] == [r.tokens for r in r_packed]
+
+
+def test_dense_rows_min_override(monkeypatch):
+    """WTPU_DENSE_ROWS_MIN overrides the batched dense-argument boundary."""
+    import numpy as np
+
+    from whisper_mlx_tpu.ops.quant import (
+        QuantTensor,
+        maybe_dense_decode_params,
+        quantize,
+    )
+
+    rng = np.random.default_rng(0)
+    w = rng.standard_normal((128, 128)).astype(np.float32)
+    w_q, s, b = quantize(w, bits=4, group_size=64)
+    tree = {"w": QuantTensor(jnp.asarray(w_q), jnp.asarray(s),
+                             jnp.asarray(b), 4, 64)}
+    monkeypatch.setenv("WTPU_DENSE_ROWS_MIN", "1000")
+    assert maybe_dense_decode_params(tree, rows=56) is tree  # stays packed
+    monkeypatch.delenv("WTPU_DENSE_ROWS_MIN")
+    out = maybe_dense_decode_params(tree, rows=56)
+    assert not isinstance(out["w"], QuantTensor)  # converted
