@@ -202,10 +202,12 @@ def main() -> None:
     # WTPU_SELF_KV_LAYOUT; ops/kv_quant.py attention_int8_tmajor)
     self_layout = os.environ.get(
         "BENCH_SELF_LAYOUT", os.environ.get("WTPU_SELF_KV_LAYOUT", "tminor"))
+    kv_layout = os.environ.get(
+        "BENCH_KV_LAYOUT", os.environ.get("WTPU_KV_LAYOUT", "tminor"))
     config = dataclasses.replace(
         WHISPER_CONFIGS[model_name], dtype=jnp.bfloat16,
         flash_attention=use_flash, kv_bits=kv_bits, self_kv_bits=self_kv,
-        self_kv_layout=self_layout,
+        self_kv_layout=self_layout, kv_layout=kv_layout,
     )
 
     # real large-v3 special-token layout over a byte-level base BPE
@@ -265,6 +267,8 @@ def main() -> None:
                 "self_kv": self_kv, "beam": beam, "best_s": round(best, 3),
                 **({"self_layout": self_layout}
                    if self_layout != "tminor" else {}),
+                **({"kv_layout": kv_layout}
+                   if kv_layout != "tminor" else {}),
             }) + "\n")
     except OSError:
         pass

@@ -340,3 +340,63 @@ def test_tmajor_phase_ladder_token_identical(tiny):
     for a, b in zip(r_ladder, r_flat):
         assert a.tokens == b.tokens
         assert abs(a.avg_logprob - b.avg_logprob) < 1e-3
+
+
+def test_tmajor_cross_attention_matches_grouped_and_auto():
+    """tmajor cross (plain + grouped) == the time-minor reference paths."""
+    from whisper_mlx_tpu.ops.kv_quant import (
+        attention_int8_auto,
+        attention_int8_grouped,
+        attention_int8_tmajor_cross,
+        attention_int8_tmajor_grouped,
+    )
+
+    rng = np.random.default_rng(4)
+    n, g, h, T, d = 2, 3, 4, 24, 16
+    b = n * g
+    k8 = rng.integers(-127, 128, size=(n, h, T, d)).astype(np.int8)
+    v8 = rng.integers(-127, 128, size=(n, h, T, d)).astype(np.int8)
+    ks = rng.uniform(0.01, 0.1, size=(n, h, T, 1)).astype(np.float32)
+    vs = rng.uniform(0.01, 0.1, size=(n, h, T, 1)).astype(np.float32)
+    kT = jnp.asarray(k8.transpose(2, 0, 1, 3).reshape(T, n, h * d))
+    vT = jnp.asarray(v8.transpose(2, 0, 1, 3).reshape(T, n, h * d))
+    ksT = jnp.asarray(ks[..., 0].transpose(2, 0, 1))
+    vsT = jnp.asarray(vs[..., 0].transpose(2, 0, 1))
+    k8t = jnp.swapaxes(jnp.asarray(k8), 2, 3)
+    v8t = jnp.swapaxes(jnp.asarray(v8), 2, 3)
+
+    # plain (n == b rows): tq 1 and 4
+    for tq in (1, 4):
+        q = jnp.asarray(rng.standard_normal((n, h, tq, d)).astype(np.float32) * 0.3)
+        ref = np.asarray(attention_int8_auto(
+            q, k8t, jnp.asarray(ks), v8t, jnp.asarray(vs), valid_len=T))
+        out = np.asarray(attention_int8_tmajor_cross(q, kT, ksT, vT, vsT))
+        np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-5)
+
+    # grouped: g rows share each window's cache; tq 1 and 4
+    for tq in (1, 4):
+        q5 = jnp.asarray(
+            rng.standard_normal((n, g, h, tq, d)).astype(np.float32) * 0.3)
+        ref = np.asarray(attention_int8_grouped(
+            q5, k8t, jnp.asarray(ks), v8t, jnp.asarray(vs), valid_len=T))
+        out = np.asarray(attention_int8_tmajor_grouped(q5, kT, ksT, vT, vsT))
+        np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-5)
+
+
+def test_tmajor_cross_decode_token_identical(tiny):
+    """decode() with kv_layout=tmajor == tminor tokens (greedy + best_of + beam)."""
+    params, config, tok, mel = tiny
+    base = dataclasses.replace(config, kv_bits=8, self_kv_bits=8)
+    tmaj = dataclasses.replace(base, kv_layout="tmajor")
+    r_min = decode(params, mel, tok, base, DecodingOptions(sample_len=12))
+    r_maj = decode(params, mel, tok, tmaj, DecodingOptions(sample_len=12))
+    for a, b in zip(r_min, r_maj):
+        assert a.tokens == b.tokens
+    # beam (grouped cross) under tmajor
+    r_beam = decode(params, mel, tok, tmaj,
+                    DecodingOptions(sample_len=8, beam_size=2))
+    assert len(r_beam) == 2 and all(x.tokens for x in r_beam)
+    # best_of sampling path (grouped cross, temperature > 0)
+    r_bo = decode(params, mel, tok, tmaj,
+                  DecodingOptions(sample_len=8, temperature=0.7, best_of=2))
+    assert len(r_bo) == 2

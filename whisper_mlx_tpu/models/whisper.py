@@ -42,6 +42,7 @@ _DECODE_ATTN_KERNEL_DEFAULT = os.environ.get("WTPU_DECODE_ATTN_KERNEL") == "1"
 # self-KV cache layout: "tminor" (b,h,d,T) or "tmajor" (T,b,h*d) — one
 # static decision read once at import (same rationale as the kernel flag)
 _SELF_KV_LAYOUT_DEFAULT = os.environ.get("WTPU_SELF_KV_LAYOUT", "tminor")
+_KV_LAYOUT_DEFAULT = os.environ.get("WTPU_KV_LAYOUT", "tminor")
 
 
 @dataclasses.dataclass(frozen=True)
@@ -73,6 +74,10 @@ class WhisperConfig:
     # elementwise-stream reads + contiguous plane writes
     # (ops/kv_quant.py attention_int8_tmajor)
     self_kv_layout: str = _SELF_KV_LAYOUT_DEFAULT
+    # cross-KV cache layout (quantized caches only): same options — the
+    # cross stream is the decode loop's dominant HBM traffic
+    # (ops/kv_quant.py attention_int8_tmajor_cross / _grouped)
+    kv_layout: str = _KV_LAYOUT_DEFAULT
     # fused Pallas decode-attention kernel (ops/decode_attention.py) — one
     # static decision threaded to cache layout AND kernel selection; default
     # comes from WTPU_DECODE_ATTN_KERNEL read once at import
@@ -319,6 +324,19 @@ def cross_kv(params: Params, audio_states: jnp.ndarray, config: WhisperConfig) -
 
             k8, ks = quantize_kv(k * scale, bits=config.kv_bits)
             v8, vs = quantize_kv(v, bits=config.kv_bits)
+            if config.kv_layout == "tmajor":
+                # (T, b, h·d) planes + (T, b, h) scales: decode reads the
+                # cache as one elementwise stream in layout order
+                # (ops/kv_quant.py attention_int8_tmajor_cross)
+                assert not use_kernel, "tmajor cross incompatible with kernel"
+                b_, h_, t_, d_ = k8.shape
+                out.append({
+                    "kT": k8.transpose(2, 0, 1, 3).reshape(t_, b_, h_ * d_),
+                    "ksT": ks[..., 0].transpose(2, 0, 1),
+                    "vT": v8.transpose(2, 0, 1, 3).reshape(t_, b_, h_ * d_),
+                    "vsT": vs[..., 0].transpose(2, 0, 1),
+                })
+                continue
             t = k8.shape[2]
             t_pad = (-t % 128) if use_kernel else 0
             k8t = jnp.swapaxes(k8, 2, 3)
@@ -588,7 +606,16 @@ def decode_step(
             g = share_xkv_groups
             n = qx.shape[0] // g
             qx5 = qx.reshape(n, g, *qx.shape[1:])
-            if "k8t" in xkv[i]:
+            if "kT" in xkv[i]:
+                from whisper_mlx_tpu.ops.kv_quant import (
+                    attention_int8_tmajor_grouped,
+                )
+
+                out5 = attention_int8_tmajor_grouped(
+                    qx5 * scale, xkv[i]["kT"], xkv[i]["ksT"], xkv[i]["vT"],
+                    xkv[i]["vsT"],
+                )
+            elif "k8t" in xkv[i]:
                 from whisper_mlx_tpu.ops.kv_quant import attention_int8_grouped
 
                 out5 = attention_int8_grouped(
@@ -603,6 +630,14 @@ def decode_step(
                 w5 = jax.nn.softmax(s5, axis=-1).astype(xkv[i]["v"].dtype)
                 out5 = jnp.einsum("nghqk,nhkd->nghqd", w5, xkv[i]["v"])
             cross_out = out5.reshape(qx.shape).astype(qx.dtype)
+            cw = None
+        elif "kT" in xkv[i]:  # time-major quantized cross cache
+            from whisper_mlx_tpu.ops.kv_quant import attention_int8_tmajor_cross
+
+            cross_out = attention_int8_tmajor_cross(
+                qx * scale, xkv[i]["kT"], xkv[i]["ksT"], xkv[i]["vT"],
+                xkv[i]["vsT"],
+            )
             cw = None
         elif "k8t" in xkv[i]:  # int8 KV path (never collects weights — DTW
             # alignment uses a full-precision pass)

@@ -161,6 +161,64 @@ def attention_int8_tmajor(
     return o.astype(q.dtype)
 
 
+def attention_int8_tmajor_cross(
+    q: jnp.ndarray,     # (b, h, tq, d) — pre-scaled queries
+    kT: jnp.ndarray,    # (T, b, h*d) int8/int4 — TIME-MAJOR cross cache
+    ksT: jnp.ndarray,   # (T, b, h) bf16
+    vT: jnp.ndarray,    # (T, b, h*d)
+    vsT: jnp.ndarray,   # (T, b, h)
+) -> jnp.ndarray:
+    """Non-causal (cross) twin of :func:`attention_int8_tmajor`.
+
+    All T positions are valid (the time-major cross cache is built
+    unpadded at n_audio_ctx — models/whisper.py cross_kv)."""
+    b, h, tq, d = q.shape
+    T = kT.shape[0]
+    kv = kT.reshape(T, b, h, d)
+    vv = vT.reshape(T, b, h, d)
+    if tq == 1:
+        p = q[None, :, :, 0, :].astype(jnp.float32) * kv.astype(jnp.float32)
+        s = jnp.sum(p, axis=-1) * ksT.astype(jnp.float32)  # (T, b, h)
+        w = jax.nn.softmax(s, axis=0) * vsT.astype(jnp.float32)
+        o = jnp.sum(w[..., None] * vv.astype(jnp.float32), axis=0)
+        return o[:, :, None, :].astype(q.dtype)
+    s = jnp.einsum("bhid,tbhd->tbhi", q.astype(jnp.float32),
+                   kv.astype(jnp.float32))
+    s = s * ksT.astype(jnp.float32)[..., None]
+    w = jax.nn.softmax(s, axis=0) * vsT.astype(jnp.float32)[..., None]
+    o = jnp.einsum("tbhi,tbhd->bhid", w, vv.astype(jnp.float32))
+    return o.astype(q.dtype)
+
+
+def attention_int8_tmajor_grouped(
+    q5: jnp.ndarray,    # (n, g, h, tq, d) — pre-scaled; g rows share one window
+    kT: jnp.ndarray,    # (T, n, h*d) int8/int4 — SHARED time-major cache
+    ksT: jnp.ndarray,   # (T, n, h)
+    vT: jnp.ndarray,    # (T, n, h*d)
+    vsT: jnp.ndarray,   # (T, n, h)
+) -> jnp.ndarray:
+    """Grouped (beam/best_of) twin of :func:`attention_int8_tmajor_cross`:
+    the shared cache is read once and broadcast over the g hypothesis rows
+    inside the fused elementwise stream."""
+    n, g, h, tq, d = q5.shape
+    T = kT.shape[0]
+    kv = kT.reshape(T, n, h, d)
+    vv = vT.reshape(T, n, h, d)
+    if tq == 1:
+        p = (q5[None, :, :, :, 0, :].astype(jnp.float32)
+             * kv[:, :, None].astype(jnp.float32))  # (T, n, g, h, d)
+        s = jnp.sum(p, axis=-1) * ksT.astype(jnp.float32)[:, :, None]
+        w = jax.nn.softmax(s, axis=0) * vsT.astype(jnp.float32)[:, :, None]
+        o = jnp.sum(w[..., None] * vv[:, :, None].astype(jnp.float32), axis=0)
+        return o[:, :, :, None, :].astype(q5.dtype)
+    s = jnp.einsum("nghid,tnhd->tnghi", q5.astype(jnp.float32),
+                   kv.astype(jnp.float32))
+    s = s * ksT.astype(jnp.float32)[:, :, None, :, None]
+    w = jax.nn.softmax(s, axis=0) * vsT.astype(jnp.float32)[:, :, None, :, None]
+    o = jnp.einsum("tnghi,tnhd->nghid", w, vv.astype(jnp.float32))
+    return o.astype(q5.dtype)
+
+
 def attention_int8_grouped(
     q: jnp.ndarray,        # (n, g, h, tq, d) — g beams/candidates per window
     k8t: jnp.ndarray,      # (n, h, d, tk) int8 — SHARED across the g axis
