@@ -118,10 +118,15 @@ def main():
             for tile in TILES:
                 if N < tile:
                     continue
-                t = bench(f"{sname}_mb_d{depth}_t{tile}",
-                          lambda x, q=qt, d=depth, tl=tile:
-                          quant_matmul_mb(x, q, tile_n=tl, depth=d),
-                          x0, gb)
+                try:
+                    t = bench(f"{sname}_mb_d{depth}_t{tile}",
+                              lambda x, q=qt, d=depth, tl=tile:
+                              quant_matmul_mb(x, q, tile_n=tl, depth=d),
+                              x0, gb)
+                except Exception as e:  # VMEM overflow at big tile×depth
+                    print(f"# {sname}_mb_d{depth}_t{tile} FAILED: "
+                          f"{str(e)[:120]}", file=sys.stderr)
+                    continue
                 total.setdefault(f"mb_d{depth}_t{tile}", 0.0)
                 total[f"mb_d{depth}_t{tile}"] += t
 
