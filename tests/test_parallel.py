@@ -147,3 +147,22 @@ def test_sharded_quantized_qwen():
     cache = init_kv_cache(config, 1, max_len=8)
     sh, _ = decode_step(p_sh, tokens, jnp.int32(0), cache, config)
     np.testing.assert_allclose(np.asarray(sh), np.asarray(ref), atol=1e-4)
+
+
+def test_sharded_decode_tmajor_matches_single_device(tiny):
+    """Time-major KV layouts (cross + self) stay token-identical under
+    DP×TP sharding: the (T, b, h·d) caches put batch on dim 1, and GSPMD
+    must propagate the batch sharding through the plane updates and the
+    elementwise-stream attention."""
+    import dataclasses
+
+    params, config, tok, mel = tiny
+    config = dataclasses.replace(config, kv_bits=8, self_kv_bits=8,
+                                 kv_layout="tmajor", self_kv_layout="tmajor")
+    base = decode(params, jnp.asarray(mel), tok, config, DecodingOptions(sample_len=16))
+    mesh = make_mesh(dp=4, tp=2)
+    p_sh = shard_params(params, mesh)
+    mel_sh = shard_batch(jnp.asarray(mel), mesh)
+    sharded = decode(p_sh, mel_sh, tok, config, DecodingOptions(sample_len=16))
+    for b, s in zip(base, sharded):
+        assert b.tokens == s.tokens
