@@ -33,7 +33,8 @@ import jax.numpy as jnp  # noqa: E402
 
 from whisper_mlx_tpu.ops.quant import QuantTensor, quantize  # noqa: E402
 from whisper_mlx_tpu.ops.quant_pallas import quant_matmul_pallas  # noqa: E402
-from whisper_mlx_tpu.ops.quant_pallas_mb import quant_matmul_mb  # noqa: E402
+from whisper_mlx_tpu.ops.quant_pallas_mb import (  # noqa: E402
+    quant_matmul_mbt, transpose_quant)
 
 ITERS = int(os.environ.get("QB_ITERS", "50"))
 M = int(os.environ.get("QB_M", "1"))
@@ -114,14 +115,15 @@ def main():
                   x0, gb, note=f"K={K} N={N}")
         total.setdefault("prod", 0.0)
         total["prod"] += t
+        qtt = transpose_quant(qt)  # one-time setup, outside the timed loop
         for depth in DEPTHS:
             for tile in TILES:
                 if N < tile:
                     continue
                 try:
                     t = bench(f"{sname}_mb_d{depth}_t{tile}",
-                              lambda x, q=qt, d=depth, tl=tile:
-                              quant_matmul_mb(x, q, tile_n=tl, depth=d),
+                              lambda x, q=qtt, d=depth, tl=tile:
+                              quant_matmul_mbt(x, q, tile_n=tl, depth=d),
                               x0, gb)
                 except Exception as e:  # VMEM overflow at big tile×depth
                     print(f"# {sname}_mb_d{depth}_t{tile} FAILED: "

@@ -119,6 +119,14 @@ def main():
 
         params = fuse_qwen_projections(params)
 
+    # QB_MBT=1 (opt-in): one-time transpose to the multi-buffered DMA-ring
+    # resident layout (QuantTensorT leaves; ops/quant_pallas_mb). Honors
+    # WTPU_MBT_MAX_K to keep deep-K linears on the production kernel.
+    if quant and os.environ.get("QB_MBT", "0") == "1":
+        from whisper_mlx_tpu.ops.quant import prepare_mbt_params
+
+        params = prepare_mbt_params(params)
+
     cache = qwen.init_kv_cache(config, batch, max_len)
     toks = jnp.zeros((batch, prompt), jnp.int32)
 

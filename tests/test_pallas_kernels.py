@@ -64,6 +64,47 @@ def test_quant_matmul_mb_bitexact_vs_production():
         np.testing.assert_array_equal(out, ref)
 
 
+def test_prepare_mbt_params_resident_layout():
+    """prepare_mbt_params: linears → QuantTensorT (per-leaf tile/depth
+    aux), embeds stay packed, dequantize round-trips, and the interpreted
+    mbt kernel run from the stored aux is bit-exact vs production."""
+    from whisper_mlx_tpu.ops.quant import prepare_mbt_params
+    from whisper_mlx_tpu.ops.quant_pallas_mb import (
+        QuantTensorT, quant_matmul_mbt)
+
+    rng = np.random.default_rng(3)
+    K, N = 128, 384
+
+    def qt_of(n, k):
+        w = rng.standard_normal((n, k)).astype(np.float32)
+        w_q, scales, biases = quantize(w, bits=4, group_size=64)
+        return QuantTensor(jnp.asarray(w_q), jnp.asarray(scales),
+                           jnp.asarray(biases), 4, 64)
+
+    tree = {"embed": qt_of(512, K), "layers": [{"qkv": qt_of(N, K)}]}
+    out = prepare_mbt_params(tree)
+    assert isinstance(out["embed"], QuantTensor)  # gatherable layout kept
+    leaf = out["layers"][0]["qkv"]
+    assert isinstance(leaf, QuantTensorT)
+    assert leaf.shape == (N, K) and leaf.tile_n == 512 and leaf.depth == 2
+
+    src = tree["layers"][0]["qkv"]
+    np.testing.assert_array_equal(
+        np.asarray(leaf.dequantize()),
+        dequantize(np.asarray(src.w_q), np.asarray(src.scales),
+                   np.asarray(src.biases), 4, 64))
+
+    x = rng.standard_normal((2, K)).astype(np.float32)
+    ref = np.asarray(quant_matmul_pallas(jnp.asarray(x), src, interpret=True))
+    got = np.asarray(quant_matmul_mbt(jnp.asarray(x), leaf, tile_n=128,
+                                      interpret=True))
+    np.testing.assert_array_equal(got, ref)
+
+    # max_k policy: deep-K linears stay on the production layout
+    deep = prepare_mbt_params({"w": qt_of(N, 256)}, max_k=128)
+    assert isinstance(deep["w"], QuantTensor)
+
+
 def _sdpa_ref(q, k, v, causal=False):
     s = np.einsum("bhqd,bhkd->bhqk", q, k).astype(np.float32)
     if causal:

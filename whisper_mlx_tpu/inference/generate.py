@@ -210,6 +210,18 @@ class LLMEngine:
                 dp, _ = promote_resident_native(draft[0],
                                                 budget_bytes=None)
                 draft = (dp, draft[1])
+        # Opt-in (WTPU_MBT_RESIDENT=1): transpose packed linears ONCE to
+        # the multi-buffered DMA-ring layout (ops/quant_pallas_mb) — the
+        # kernel keeps DEPTH weight-slab DMAs in flight per matmul.
+        # Measured +7% decode (qwen2.5-7b B=1: 52.2 vs 48.9 tok/s, r3);
+        # token-exact vs packed. uint32 planes cross jit boundaries, so
+        # per-step loops (SSE streaming, batch engine) can use it too.
+        if os.environ.get("WTPU_MBT_RESIDENT", "0") == "1":
+            from whisper_mlx_tpu.ops.quant import prepare_mbt_params
+
+            params = prepare_mbt_params(params)
+            if draft is not None:
+                draft = (prepare_mbt_params(draft[0]), draft[1])
         self.params = params
         self.config = config
         self.tokenizer = tokenizer

@@ -268,6 +268,50 @@ def promote_resident_native(params, budget_bytes: int | None = 9 << 30):
     return walk(params), True
 
 
+def prepare_mbt_params(params, embed_keys: tuple = ("embed", "token_emb"),
+                       max_k: int | None = None, max_n: int | None = None):
+    """EAGERLY re-layout packed QuantTensor linears for the multi-buffered
+    DMA-ring kernel (ops/quant_pallas_mb): weights transpose ONCE to the
+    (K//per_word, N) slab layout and ride the params tree as QuantTensorT,
+    so decode loops stream them with a DEPTH-deep manual DMA ring instead
+    of the production kernel's single BlockSpec prefetch.
+
+    Embedding tables (matched by dict key) stay packed — they are gathered
+    row-wise (quant_rows), which needs the natural (out, in) layout.
+    ``max_k`` (or WTPU_MBT_MAX_K) keeps very-deep-K linears (e.g. qwen
+    down_proj K=18944, where the sweep showed no mb win) on the
+    production kernel. ``max_n`` (or WTPU_MBT_MAX_N, default 65536) keeps
+    vocab-sized heads there too — the mbt kernel holds the whole (Mp, N)
+    output and (G, N) scales/biases in VMEM, which overflows at N=152k
+    (measured: qwen lm_head at prefill M=128 wants 159 MB of 128 MB).
+    Returns a new tree; no-op without QuantTensor leaves.
+    """
+    from whisper_mlx_tpu.ops.quant_pallas_mb import transpose_quant
+
+    if max_k is None:
+        mk = os.environ.get("WTPU_MBT_MAX_K", "")
+        max_k = int(mk) if mk else None
+    if max_n is None:
+        mn = os.environ.get("WTPU_MBT_MAX_N", "")
+        max_n = int(mn) if mn else 65536
+
+    def walk(node):
+        if isinstance(node, QuantTensor):
+            n, k = node.shape
+            if (max_k is not None and k > max_k) or n > max_n:
+                return node
+            return transpose_quant(node)
+        if isinstance(node, dict):
+            return {k: (v if k in embed_keys and isinstance(v, QuantTensor)
+                        else walk(v))
+                    for k, v in node.items()}
+        if isinstance(node, (list, tuple)):
+            return type(node)(walk(v) for v in node)
+        return node
+
+    return walk(params)
+
+
 def native_group_matmul(x: jnp.ndarray, q: NativeQuantTensor) -> jnp.ndarray:
     """``x @ dequant(q).T`` over native codes — x (..., in) → (..., out).
 
@@ -370,6 +414,24 @@ def quant_matmul(x: jnp.ndarray, q, backend: str = "auto") -> jnp.ndarray:
         return x @ q.w.astype(x.dtype).T  # transposed-rhs dot, no copy
     if isinstance(q, NativeQuantTensor):
         return native_group_matmul(x, q)
+    if not isinstance(q, QuantTensor):
+        from whisper_mlx_tpu.ops.quant_pallas_mb import (
+            QuantTensorT, quant_matmul_mbt)
+
+        if isinstance(q, QuantTensorT):
+            # pre-transposed resident layout (prepare_mbt_params): the
+            # multi-buffered DMA-ring kernel for decode-shaped calls on
+            # TPU; large-M calls (prefill) and other backends dequant +
+            # XLA-GEMM, mirroring the packed-path policy below.
+            import jax
+
+            rows = 1
+            for d in x.shape[:-1]:
+                rows *= d
+            max_rows = int(os.environ.get("WTPU_QMM_PALLAS_MAX_ROWS", "512"))
+            if jax.default_backend() == "tpu" and rows <= max_rows:
+                return quant_matmul_mbt(x, q)
+            return x @ q.dequantize(dtype=x.dtype).T
     if backend == "auto":
         import jax
 

@@ -7,23 +7,35 @@ XLA dense matmul reaches. At LLM B=1 the decode step is almost entirely
 this weight stream (VERDICT r2 "weak" #2: the single-DMA wall was measured
 but never attacked). This variant drives the weight stream BY HAND:
 
-- ``w_q``/``scales``/``biases`` stay in HBM (``memory_space=ANY``);
+- packed words live in HBM **transposed**: ``wqt (K//per_word, N)`` —
+  slab DMAs slice along N in tile_n (a 128 multiple), which satisfies
+  Mosaic's lane-alignment rule with ZERO padding overhead. The natural
+  (N, kp) layout is a dead end on this toolchain: any (tile_n, kp) slab
+  slice with kp % 128 != 0 (qwen K=3584 → kp=448) fails remote compile
+  with "Slice shape along dimension 1 must be aligned to tiling (128)".
 - the kernel manually issues ``make_async_copy`` for the next ``DEPTH``
-  (TILE_N, Kp) weight slabs into a VMEM ring, so several DMA streams are
+  (kp, TILE_N) weight slabs into a VMEM ring, so several DMA streams are
   in flight at once while the current tile dequantizes + MXU-dots;
-- per-tile compute is IDENTICAL to the production kernel (planar
-  bit-plane expansion, MXU scale spread, bias fold) — bit-exact results.
+- scales/biases (1/group_size of the stream) arrive whole via VMEM
+  in_specs — hand-slicing them trips the same alignment rule on their
+  G = K/group_size minor dim;
+- per-tile compute matches the production kernel (planar bit-plane
+  expansion, MXU scale spread, bias fold) in transposed orientation, so
+  the matmul is the natural (M, K) @ (K, TILE_N).
 
 Bench: scripts/bench_quant_mb.py sweeps DEPTH × TILE_N against the
 production kernel on the real chip. Reference workload: mlx-lm 4-bit
 ``quantized_matmul`` (SURVEY.md §2.3); this path serves LLM few-row decode
 (M ≤ 16) where weights must stay int4-resident (Qwen3-32B: 17.2 GiB).
+
+Call :func:`transpose_quant` ONCE at setup (eager) and pass the result to
+:func:`quant_matmul_mbt` inside loops; :func:`quant_matmul_mb` is the
+drop-in QuantTensor wrapper that transposes per call (tests/one-shots).
 """
 
 from __future__ import annotations
 
 import functools
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -37,53 +49,106 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _mb_kernel(x_ref, xg_ref, wq_hbm, scales_hbm, biases_hbm, out_ref,
-               wq_buf, sc_buf, bi_buf, sem, sc_sem,
-               *, bits: int, group_size: int, tile_n: int, depth: int,
-               n_tiles: int, out_dtype):
+@jax.tree_util.register_pytree_node_class
+class QuantTensorT:
+    """A QuantTensor pre-transposed for the mb kernel's slab DMAs.
+
+    wqt: (K // per_word, N) uint32; scalest/biasest: (G, N).
+    bits/group_size/tile_n/depth are pytree aux data (static under jit),
+    so per-leaf tile tuning rides the params tree across jit boundaries.
+    """
+
+    def __init__(self, wqt, scalest, biasest, bits: int, group_size: int,
+                 tile_n: int = 512, depth: int = 2):
+        self.wqt = wqt
+        self.scalest = scalest
+        self.biasest = biasest
+        self.bits = int(bits)
+        self.group_size = int(group_size)
+        self.tile_n = int(tile_n)
+        self.depth = int(depth)
+
+    @property
+    def shape(self):  # natural (out, in), matching QuantTensor
+        kp_words, n = self.wqt.shape
+        return (n, kp_words * (32 // self.bits))
+
+    def dequantize(self, dtype=jnp.float32):
+        """→ (out, in) floats — CPU/interpret fallback path."""
+        from whisper_mlx_tpu.ops.quant import dequantize
+
+        return dequantize(self.wqt.T, self.scalest.T, self.biasest.T,
+                          self.bits, self.group_size, dtype=dtype, xp=jnp)
+
+    def tree_flatten(self):
+        return ((self.wqt, self.scalest, self.biasest),
+                (self.bits, self.group_size, self.tile_n, self.depth))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+    def __repr__(self):
+        return (f"QuantTensorT{self.shape}[{self.bits}b/g{self.group_size}"
+                f" t{self.tile_n}d{self.depth}]")
+
+
+def transpose_quant(q: QuantTensor, tile_n: int | None = None,
+                    depth: int | None = None) -> QuantTensorT:
+    """One-time (eager) layout conversion for :func:`quant_matmul_mbt`.
+
+    tile_n/depth default to the shape-keyed sweep winners
+    (scripts/bench_quant_mb.py on v5e): wide-N FFN projections like
+    gate_up (N ≥ 16k) want a deep ring of big tiles; attention-sized
+    projections want a shallow ring of 512 tiles.
+    """
+    import os
+
+    n = q.shape[0]
+    if tile_n is None:
+        env = os.environ.get("WTPU_MBT_TILE", "")
+        tile_n = int(env) if env else (1024 if n >= 16384 else 512)
+    if depth is None:
+        env = os.environ.get("WTPU_MBT_DEPTH", "")
+        depth = int(env) if env else (8 if n >= 16384 else 2)
+    return QuantTensorT(q.w_q.T, q.scales.T, q.biases.T, q.bits,
+                        q.group_size, tile_n=tile_n, depth=depth)
+
+
+def _mbt_kernel(x_ref, xg_ref, sct_ref, bit_ref, wqt_hbm, out_ref,
+                wq_buf, sem,
+                *, bits: int, group_size: int, tile_n: int, depth: int,
+                n_tiles: int, out_dtype):
     """Single-program kernel; loops N tiles with a DEPTH-deep DMA ring.
 
-    wq_buf: (depth, TILE_N, Kp) VMEM ring; sem: (depth,) DMA semaphores.
-    scales/biases ride their own small ring (sc_buf/bi_buf, sc_sem holds
-    2*depth semaphores: [0:depth]=scales, [depth:2*depth]=biases).
+    wq_buf: (depth, Kp_words, TILE_N) VMEM ring; sem: (depth,) DMA sems.
     """
     compute = jnp.bfloat16 if x_ref.dtype == jnp.bfloat16 else jnp.float32
     per_word = 32 // bits
     mask = jnp.uint32((1 << bits) - 1)
-    kp = wq_buf.shape[2]
-    g = sc_buf.shape[2]
+    kp = wq_buf.shape[1]
+    g = sct_ref.shape[0]
     words_per_group = group_size // per_word
 
     def start(t, slot):
         pltpu.make_async_copy(
-            wq_hbm.at[pl.ds(t * tile_n, tile_n), :], wq_buf.at[slot],
+            wqt_hbm.at[:, pl.ds(t * tile_n, tile_n)], wq_buf.at[slot],
             sem.at[slot]).start()
-        pltpu.make_async_copy(
-            scales_hbm.at[pl.ds(t * tile_n, tile_n), :], sc_buf.at[slot],
-            sc_sem.at[slot]).start()
-        pltpu.make_async_copy(
-            biases_hbm.at[pl.ds(t * tile_n, tile_n), :], bi_buf.at[slot],
-            sc_sem.at[depth + slot]).start()
 
     def wait(t, slot):
         pltpu.make_async_copy(
-            wq_hbm.at[pl.ds(t * tile_n, tile_n), :], wq_buf.at[slot],
+            wqt_hbm.at[:, pl.ds(t * tile_n, tile_n)], wq_buf.at[slot],
             sem.at[slot]).wait()
-        pltpu.make_async_copy(
-            scales_hbm.at[pl.ds(t * tile_n, tile_n), :], sc_buf.at[slot],
-            sc_sem.at[slot]).wait()
-        pltpu.make_async_copy(
-            biases_hbm.at[pl.ds(t * tile_n, tile_n), :], bi_buf.at[slot],
-            sc_sem.at[depth + slot]).wait()
 
-    # warm the ring (static unroll; n_tiles >= depth enforced by caller)
+    # warm the ring (static unroll; depth <= n_tiles enforced by caller)
     for d in range(depth):
         start(d, d)
 
-    # per-word scale-spread selection matrix: loop-invariant, built once
-    g_ids = jax.lax.broadcasted_iota(jnp.int32, (g, kp), 0)
-    c_ids = jax.lax.broadcasted_iota(jnp.int32, (g, kp), 1)
-    expand = (c_ids // words_per_group == g_ids).astype(compute)  # (G, Kp)
+    # per-word scale-spread selection matrix: loop-invariant, built once.
+    # Row w (a packed word) selects its group w // words_per_group.
+    w_ids = jax.lax.broadcasted_iota(jnp.int32, (kp, g), 0)
+    g_ids = jax.lax.broadcasted_iota(jnp.int32, (kp, g), 1)
+    expand = (w_ids // words_per_group == g_ids).astype(compute)  # (Kp, G)
 
     x = x_ref[:]
     xg = xg_ref[:]
@@ -91,23 +156,25 @@ def _mb_kernel(x_ref, xg_ref, wq_hbm, scales_hbm, biases_hbm, out_ref,
     def body(t, carry):
         slot = jax.lax.rem(t, depth)
         wait(t, slot)
-        wq = wq_buf[slot]  # (TILE_N, Kp)
-        scale_w = jax.lax.dot(sc_buf[slot].astype(compute), expand,
-                              preferred_element_type=jnp.float32).astype(compute)
+        wqt = wq_buf[slot]  # (Kp, TILE_N) uint32
+        sct = sct_ref[:, pl.ds(t * tile_n, tile_n)]  # (G, TILE_N)
+        scale_w = jax.lax.dot(expand, sct.astype(compute),
+                              preferred_element_type=jnp.float32
+                              ).astype(compute)  # (Kp, TILE_N)
         planes = []
         for i in range(per_word):
-            v = (wq >> jnp.uint32(i * bits)) & mask
+            v = (wqt >> jnp.uint32(i * bits)) & mask
             v = pltpu.bitcast(v, jnp.int32).astype(compute)
             planes.append(v * scale_w)
-        w_planar = jnp.concatenate(planes, axis=1)  # (TILE_N, K)
+        w_planar = jnp.concatenate(planes, axis=0)  # (K, TILE_N)
         acc = jax.lax.dot_general(
             x.astype(compute), w_planar,
-            dimension_numbers=(((1,), (1,)), ((), ())),
+            dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         acc = acc + jax.lax.dot_general(
-            xg, bi_buf[slot].astype(jnp.float32),
-            dimension_numbers=(((1,), (1,)), ((), ())),
+            xg, bit_ref[:, pl.ds(t * tile_n, tile_n)].astype(jnp.float32),
+            dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         nxt = t + depth
@@ -124,19 +191,28 @@ def _mb_kernel(x_ref, xg_ref, wq_hbm, scales_hbm, biases_hbm, out_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("tile_n", "depth", "interpret"))
-def quant_matmul_mb(x: jnp.ndarray, q: QuantTensor, tile_n: int = 512,
-                    depth: int = 4, interpret: bool = False) -> jnp.ndarray:
+def quant_matmul_mbt(x: jnp.ndarray, qt: QuantTensorT,
+                     tile_n: int | None = None, depth: int | None = None,
+                     interpret: bool = False) -> jnp.ndarray:
     """``x @ dequant(q).T`` with a DEPTH-deep manually-DMA'd weight ring.
 
-    Bit-exact vs :func:`quant_matmul_pallas` (same per-tile arithmetic).
+    ``qt`` must come from :func:`transpose_quant` (one-time setup). Same
+    per-tile arithmetic as :func:`quant_matmul_pallas`, transposed to the
+    natural (M, K) @ (K, N) orientation. tile_n/depth default to the
+    values stored on ``qt`` (pytree aux → static under jit).
     """
+    if tile_n is None:
+        tile_n = qt.tile_n
+    if depth is None:
+        depth = qt.depth
     *lead, K = x.shape
     x2 = x.reshape(-1, K)
     M = x2.shape[0]
-    N = q.shape[0]
-    bits, group_size = q.bits, q.group_size
+    kp_words, N = qt.wqt.shape
+    bits, group_size = qt.bits, qt.group_size
     per_word = 32 // bits
     G = K // group_size
+    assert kp_words == K // per_word
 
     Np = _round_up(N, tile_n)
     n_tiles = Np // tile_n
@@ -147,37 +223,44 @@ def quant_matmul_mb(x: jnp.ndarray, q: QuantTensor, tile_n: int = 512,
     x_planar = x2[:, jnp.asarray(_planar_perm(K, per_word))]
     x_pad = jnp.zeros((Mp, K), x2.dtype).at[:M].set(x_planar)
     xg_pad = jnp.zeros((Mp, G), jnp.float32).at[:M].set(xg)
-    wq, scales, biases = q.w_q, q.scales, q.biases
+    wqt, sct, bit = qt.wqt, qt.scalest, qt.biasest
     if Np != N:
-        wq = jnp.zeros((Np, wq.shape[1]), wq.dtype).at[:N].set(wq)
-        scales = jnp.zeros((Np, scales.shape[1]), scales.dtype).at[:N].set(scales)
-        biases = jnp.zeros((Np, biases.shape[1]), biases.dtype).at[:N].set(biases)
+        wqt = jnp.zeros((kp_words, Np), wqt.dtype).at[:, :N].set(wqt)
+        sct = jnp.zeros((G, Np), sct.dtype).at[:, :N].set(sct)
+        bit = jnp.zeros((G, Np), bit.dtype).at[:, :N].set(bit)
 
-    kp = K // per_word
     out = pl.pallas_call(
         functools.partial(
-            _mb_kernel, bits=bits, group_size=group_size, tile_n=tile_n,
+            _mbt_kernel, bits=bits, group_size=group_size, tile_n=tile_n,
             depth=depth, n_tiles=n_tiles, out_dtype=x.dtype,
         ),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),  # x
             pl.BlockSpec(memory_space=pltpu.VMEM),  # xg
-            pl.BlockSpec(memory_space=pl.ANY),   # wq (HBM)
-            pl.BlockSpec(memory_space=pl.ANY),   # scales (HBM)
-            pl.BlockSpec(memory_space=pl.ANY),   # biases (HBM)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # scalesT (whole, tiny)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # biasesT (whole, tiny)
+            pl.BlockSpec(memory_space=pltpu.HBM),   # wqt: weights STAY in HBM
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Mp, Np), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((depth, tile_n, kp), wq.dtype),
-            pltpu.VMEM((depth, tile_n, G), scales.dtype),
-            pltpu.VMEM((depth, tile_n, G), biases.dtype),
+            pltpu.VMEM((depth, kp_words, tile_n), wqt.dtype),
             pltpu.SemaphoreType.DMA((depth,)),
-            pltpu.SemaphoreType.DMA((2 * depth,)),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(x_pad, xg_pad, wq, scales, biases)
+    )(x_pad, xg_pad, sct, bit, wqt)
     return out[:M, :N].reshape(*lead, N)
+
+
+def quant_matmul_mb(x: jnp.ndarray, q: QuantTensor, tile_n: int = 512,
+                    depth: int = 4, interpret: bool = False) -> jnp.ndarray:
+    """Drop-in QuantTensor wrapper: transposes PER CALL (tests/one-shots).
+
+    Inside decode loops, do the transpose once at setup:
+    ``qt = transpose_quant(q)`` then ``quant_matmul_mbt(x, qt, ...)``.
+    """
+    return quant_matmul_mbt(x, transpose_quant(q), tile_n=tile_n,
+                            depth=depth, interpret=interpret)
