@@ -40,12 +40,16 @@ def test_quant_matmul_pallas_int8_unaligned():
     np.testing.assert_allclose(out, ref, atol=2e-4, rtol=2e-4)
 
 
-def test_quant_matmul_mb_bitexact_vs_production():
-    """Multi-buffered DMA-ring kernel == production kernel, bit-exact.
+def test_quant_matmul_mb_bitexact_vs_production(monkeypatch):
+    """Multi-buffered DMA-ring kernel == production kernel, bit-exact
+    (planar dequant mode — same contraction order as production; the u8
+    mode permutes rows and is tolerance-tested separately).
 
     Small shapes: interpret-mode DMA/semaphore emulation is slow on CPU.
     Covers depth<n_tiles (ring reuse), depth==n_tiles, and unpadded N."""
     from whisper_mlx_tpu.ops.quant_pallas_mb import quant_matmul_mb
+
+    monkeypatch.setenv("WTPU_MBT_DQ", "planar")
 
     rng = np.random.default_rng(2)
     for (M, K, N, bits, tile, depth) in [
@@ -64,13 +68,15 @@ def test_quant_matmul_mb_bitexact_vs_production():
         np.testing.assert_array_equal(out, ref)
 
 
-def test_prepare_mbt_params_resident_layout():
+def test_prepare_mbt_params_resident_layout(monkeypatch):
     """prepare_mbt_params: linears → QuantTensorT (per-leaf tile/depth
     aux), embeds stay packed, dequantize round-trips, and the interpreted
     mbt kernel run from the stored aux is bit-exact vs production."""
     from whisper_mlx_tpu.ops.quant import prepare_mbt_params
     from whisper_mlx_tpu.ops.quant_pallas_mb import (
         QuantTensorT, quant_matmul_mbt)
+
+    monkeypatch.setenv("WTPU_MBT_DQ", "planar")
 
     rng = np.random.default_rng(3)
     K, N = 128, 384
@@ -103,6 +109,34 @@ def test_prepare_mbt_params_resident_layout():
     # max_k policy: deep-K linears stay on the production layout
     deep = prepare_mbt_params({"w": qt_of(N, 256)}, max_k=128)
     assert isinstance(deep["w"], QuantTensor)
+
+
+def test_quant_matmul_mbt_u8_dequant_mode(monkeypatch):
+    """u8-bitcast dequant (one sublane-expanding bitcast + two nibble
+    masks instead of 8 per-plane shift/mask/cast chains) matches the
+    planar mode and the dequant reference. 4-bit only; the activation
+    rides the _u8_perm row order."""
+    from whisper_mlx_tpu.ops.quant_pallas_mb import (
+        quant_matmul_mbt, transpose_quant)
+
+    rng = np.random.default_rng(4)
+    for (M, K, N) in [(1, 128, 384), (3, 256, 200)]:
+        w = rng.standard_normal((N, K)).astype(np.float32)
+        w_q, scales, biases = quantize(w, bits=4, group_size=64)
+        qt = transpose_quant(
+            QuantTensor(jnp.asarray(w_q), jnp.asarray(scales),
+                        jnp.asarray(biases), 4, 64), tile_n=128, depth=2)
+        x = rng.standard_normal((M, K)).astype(np.float32)
+        ref = x @ dequantize(w_q, scales, biases, 4, 64).T
+
+        monkeypatch.setenv("WTPU_MBT_DQ", "u8")
+        out_u8 = np.asarray(
+            quant_matmul_mbt.__wrapped__(jnp.asarray(x), qt, None, None, True))
+        monkeypatch.setenv("WTPU_MBT_DQ", "planar")
+        out_pl = np.asarray(
+            quant_matmul_mbt.__wrapped__(jnp.asarray(x), qt, None, None, True))
+        np.testing.assert_allclose(out_u8, ref, atol=2e-4, rtol=2e-4)
+        np.testing.assert_allclose(out_pl, ref, atol=2e-4, rtol=2e-4)
 
 
 def _sdpa_ref(q, k, v, causal=False):

@@ -49,6 +49,24 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+def _u8_perm(K: int):
+    """Activation permutation for the u8-bitcast dequant order (bits=4).
+
+    ``pltpu.bitcast(u32 → u8)`` expands the SUBLANE dim 4× in row-major
+    byte order (measured on this toolchain): word row kw → u8 rows
+    4·kw+b holding byte b. Byte b of word kw packs nibbles 2b (lo) and
+    2b+1 (hi), i.e. original k = 8·kw + 2b (+1 for the hi half). The
+    kernel concatenates [lo; hi], so output row m maps to
+    k(m) = 8·(m′//4) + 2·(m′%4) + (m ≥ K/2), m′ = m mod K/2.
+    """
+    import numpy as np
+
+    kp4 = K // 2  # rows per half: 4 * (K // 8)
+    m = np.arange(K)
+    mm = np.where(m < kp4, m, m - kp4)
+    return 8 * (mm // 4) + 2 * (mm % 4) + (m >= kp4).astype(np.int64)
+
+
 @jax.tree_util.register_pytree_node_class
 class QuantTensorT:
     """A QuantTensor pre-transposed for the mb kernel's slab DMAs.
@@ -118,7 +136,7 @@ def transpose_quant(q: QuantTensor, tile_n: int | None = None,
 def _mbt_kernel(x_ref, xg_ref, sct_ref, bit_ref, wqt_hbm, out_ref,
                 wq_buf, sem,
                 *, bits: int, group_size: int, tile_n: int, depth: int,
-                n_tiles: int, out_dtype):
+                n_tiles: int, out_dtype, dq_mode: str = "planar"):
     """Single-program kernel; loops N tiles with a DEPTH-deep DMA ring.
 
     wq_buf: (depth, Kp_words, TILE_N) VMEM ring; sem: (depth,) DMA sems.
@@ -146,12 +164,23 @@ def _mbt_kernel(x_ref, xg_ref, sct_ref, bit_ref, wqt_hbm, out_ref,
 
     # per-word scale-spread selection matrix: loop-invariant, built once.
     # Row w (a packed word) selects its group w // words_per_group.
-    w_ids = jax.lax.broadcasted_iota(jnp.int32, (kp, g), 0)
-    g_ids = jax.lax.broadcasted_iota(jnp.int32, (kp, g), 1)
-    expand = (w_ids // words_per_group == g_ids).astype(compute)  # (Kp, G)
+    if dq_mode == "u8":
+        # byte-row granularity: lo/hi byte-rows share shape (4·Kp, T);
+        # byte-row m holds k = 8·(m//4) + 2·(m%4) (+1 for hi) → group
+        # m // (4 · words_per_group) for both halves.
+        r_ids = jax.lax.broadcasted_iota(jnp.int32, (4 * kp, g), 0)
+        g_ids = jax.lax.broadcasted_iota(jnp.int32, (4 * kp, g), 1)
+        expand = (r_ids // (4 * words_per_group) == g_ids).astype(compute)
+    else:
+        w_ids = jax.lax.broadcasted_iota(jnp.int32, (kp, g), 0)
+        g_ids = jax.lax.broadcasted_iota(jnp.int32, (kp, g), 1)
+        expand = (w_ids // words_per_group == g_ids).astype(compute)  # (Kp, G)
 
     x = x_ref[:]
     xg = xg_ref[:]
+    if dq_mode == "u8":
+        x_lo = x[:, : 4 * kp]   # lo-nibble byte-rows (see _u8_perm)
+        x_hi = x[:, 4 * kp :]
 
     def body(t, carry):
         slot = jax.lax.rem(t, depth)
@@ -160,18 +189,40 @@ def _mbt_kernel(x_ref, xg_ref, sct_ref, bit_ref, wqt_hbm, out_ref,
         sct = sct_ref[:, pl.ds(t * tile_n, tile_n)]  # (G, TILE_N)
         scale_w = jax.lax.dot(expand, sct.astype(compute),
                               preferred_element_type=jnp.float32
-                              ).astype(compute)  # (Kp, TILE_N)
-        planes = []
-        for i in range(per_word):
-            v = (wqt >> jnp.uint32(i * bits)) & mask
-            v = pltpu.bitcast(v, jnp.int32).astype(compute)
-            planes.append(v * scale_w)
-        w_planar = jnp.concatenate(planes, axis=0)  # (K, TILE_N)
-        acc = jax.lax.dot_general(
-            x.astype(compute), w_planar,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+                              ).astype(compute)  # ((4·)Kp, TILE_N)
+        if dq_mode == "u8":
+            # VPU-cheap 4-bit dequant: ONE u32→u8 sublane-expanding
+            # bitcast splits each word into bytes (row-major order, see
+            # _u8_perm) and a u8 mask extracts 4 nibbles per lane-op.
+            # The planar path below spends shift+mask+bitcast+cast PER
+            # PLANE and measured VPU-bound (gate_up 195 GB/s while dense
+            # streams 700+). Two half-dots avoid any concat/relayout;
+            # both halves share the byte-row scale spread (MXU-built).
+            lo = pltpu.bitcast(wqt, jnp.uint8) & jnp.uint8(0xF)
+            hi = pltpu.bitcast(wqt >> jnp.uint32(4), jnp.uint8) & jnp.uint8(0xF)
+            wl = pltpu.bitcast(lo, jnp.int8).astype(compute) * scale_w
+            wh = pltpu.bitcast(hi, jnp.int8).astype(compute) * scale_w
+            acc = jax.lax.dot_general(
+                x_lo.astype(compute), wl,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + jax.lax.dot_general(
+                x_hi.astype(compute), wh,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            planes = []
+            for i in range(per_word):
+                v = (wqt >> jnp.uint32(i * bits)) & mask
+                v = pltpu.bitcast(v, jnp.int32).astype(compute)
+                planes.append(v * scale_w)
+            w_planar = jnp.concatenate(planes, axis=0)  # (K, TILE_N)
+            acc = jax.lax.dot_general(
+                x.astype(compute), w_planar,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
         acc = acc + jax.lax.dot_general(
             xg, bit_ref[:, pl.ds(t * tile_n, tile_n)].astype(jnp.float32),
             dimension_numbers=(((1,), (0,)), ((), ())),
@@ -205,6 +256,11 @@ def quant_matmul_mbt(x: jnp.ndarray, qt: QuantTensorT,
         tile_n = qt.tile_n
     if depth is None:
         depth = qt.depth
+    import os
+
+    dq_mode = os.environ.get("WTPU_MBT_DQ", "u8")
+    if qt.bits != 4:
+        dq_mode = "planar"  # u8 nibble split is 4-bit-specific
     *lead, K = x.shape
     x2 = x.reshape(-1, K)
     M = x2.shape[0]
@@ -220,7 +276,8 @@ def quant_matmul_mbt(x: jnp.ndarray, qt: QuantTensorT,
     Mp = _round_up(max(M, 8), 8)
 
     xg = x2.astype(jnp.float32).reshape(M, G, group_size).sum(-1)
-    x_planar = x2[:, jnp.asarray(_planar_perm(K, per_word))]
+    perm = _u8_perm(K) if dq_mode == "u8" else _planar_perm(K, per_word)
+    x_planar = x2[:, jnp.asarray(perm)]
     x_pad = jnp.zeros((Mp, K), x2.dtype).at[:M].set(x_planar)
     xg_pad = jnp.zeros((Mp, G), jnp.float32).at[:M].set(xg)
     wqt, sct, bit = qt.wqt, qt.scalest, qt.biasest
@@ -233,6 +290,7 @@ def quant_matmul_mbt(x: jnp.ndarray, qt: QuantTensorT,
         functools.partial(
             _mbt_kernel, bits=bits, group_size=group_size, tile_n=tile_n,
             depth=depth, n_tiles=n_tiles, out_dtype=x.dtype,
+            dq_mode=dq_mode,
         ),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),  # x
