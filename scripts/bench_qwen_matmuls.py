@@ -71,12 +71,20 @@ def timed_loop(fn, x0, n=ITERS):
 
 def main():
     rng = np.random.default_rng(0)
-    shapes = [  # (K, N, label) — qwen2.5-7b fused decode matmuls
-        (3584, 5632, "qkv"),
-        (4096, 3584, "o"),
-        (3584, 37888, "gate_up"),
-        (18944, 3584, "down"),
-    ]
+    if os.environ.get("QB_SET", "qwen") == "whisper":
+        shapes = [  # large-v3 decoder matmuls (M = few-row beam/best_of)
+            (1280, 3840, "qkv"),
+            (1280, 1280, "o"),
+            (1280, 5120, "fc1"),
+            (5120, 1280, "fc2"),
+        ]
+    else:
+        shapes = [  # (K, N, label) — qwen2.5-7b fused decode matmuls
+            (3584, 5632, "qkv"),
+            (4096, 3584, "o"),
+            (3584, 37888, "gate_up"),
+            (18944, 3584, "down"),
+        ]
     only = os.environ.get("QB_SHAPES", "")
     if only:
         keep = set(only.split(","))
@@ -93,10 +101,19 @@ def main():
         x0 = jnp.asarray(rng.standard_normal((1, K)), jnp.bfloat16)
         stream_mb = N * K * BITS / 8 / 1e6  # packed-code bytes
 
+        from whisper_mlx_tpu.ops.quant import (NativeQuantTensor,
+                                               native_group_matmul, unpack)
+
+        # u8 codes (s4 can't cross the jit boundary on this backend);
+        # matches the promote_resident_native per-step serving path
+        nq = NativeQuantTensor(
+            jax.jit(lambda w: unpack(w, 4, xp=jnp).astype(jnp.uint8))(q.w_q),
+            q.scales, q.biases, 4, 64)
         variants = {
             "dense": lambda x: x @ w_bf,
             "prod": lambda x: quant_matmul_pallas(x, q),
             "mbt": lambda x: quant_matmul_mbt(x, qt),
+            "native": lambda x: native_group_matmul(x, nq),
         }
         line = [f"{label:>8} K={K:<5} N={N:<6} {stream_mb:6.1f}MB"]
         for name, fn in variants.items():

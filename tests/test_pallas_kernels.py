@@ -232,6 +232,34 @@ def test_encoder_flash_flag_matches_xla():
     np.testing.assert_allclose(out, ref, atol=2e-4, rtol=2e-4)
 
 
+def test_dense_attention_fast_softmax():
+    """fast_softmax=True (bf16 softmax, MXU-dot denominator) stays within
+    bf16 rounding of the exact-softmax kernel on bf16 inputs. fp32 inputs
+    ignore the flag (oracle path unchanged)."""
+    from whisper_mlx_tpu.ops.dense_attention import dense_attention
+
+    rng = np.random.default_rng(6)
+    B, H, Tq, Tk, hd = 1, 3, 130, 200, 64  # padded Tq/Tk paths
+    q = (rng.standard_normal((B, H, Tq, hd)) * 0.3).astype(np.float32)
+    k = (rng.standard_normal((B, H, Tk, hd)) * 0.3).astype(np.float32)
+    v = rng.standard_normal((B, H, Tk, hd)).astype(np.float32)
+    ref = _sdpa_ref(q, k, v)
+
+    qb, kb, vb = (jnp.asarray(a, jnp.bfloat16) for a in (q, k, v))
+    out_fast = np.asarray(dense_attention(
+        qb, kb, vb, fast_softmax=True, interpret=True), np.float32)
+    out_ref = np.asarray(dense_attention(
+        qb, kb, vb, fast_softmax=False, interpret=True), np.float32)
+    np.testing.assert_allclose(out_fast, out_ref, atol=3e-2, rtol=3e-2)
+    np.testing.assert_allclose(out_fast, ref, atol=6e-2, rtol=6e-2)
+
+    # fp32 inputs: flag is a no-op (exact oracle path)
+    out32 = np.asarray(dense_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+        fast_softmax=True, interpret=True))
+    np.testing.assert_allclose(out32, ref, atol=2e-5, rtol=2e-5)
+
+
 def test_quant_matmul_pallas_bf16_compute():
     """bf16 activations take the bf16 dequant+dot path (the serving path);
     error stays within bf16 rounding of the exact dequant matmul."""

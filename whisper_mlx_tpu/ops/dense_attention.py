@@ -40,7 +40,7 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _dense_attn_kernel(q_ref, kt_ref, v_ref, out_ref, *, bh_tile: int,
-                       valid_len: int):
+                       valid_len: int, fast_softmax: bool = False):
     # compute dtype follows the activations: bf16 serving path rounds the
     # softmax weights to bf16 for the PV dot (the accuracy class of the
     # default-precision TPU einsum); the fp32 oracle path stays fp32.
@@ -49,6 +49,16 @@ def _dense_attn_kernel(q_ref, kt_ref, v_ref, out_ref, *, bh_tile: int,
     tk = kt_ref.shape[2]
     k_idx = jax.lax.broadcasted_iota(jnp.int32, (tq, tk), 1)
     valid = k_idx < valid_len
+    fast = fast_softmax and compute == jnp.bfloat16
+    if fast:
+        # the attention wall is the elementwise softmax over T² scores
+        # (encoder ablation: 0.60 s ≈ the VPU elementwise floor at f32,
+        # docs/performance.md). bf16 packs 2 lanes/elt for every
+        # elementwise op, and the denominator reduction rides the MXU
+        # (p @ 1 with f32 accumulation) instead of a lane reduce. The
+        # row max is computed in bf16 — softmax is shift-invariant, so
+        # an ulp-off max only rescales both numerator and denominator.
+        ones = jnp.ones((tk, 1), jnp.bfloat16)
     for j in range(bh_tile):
         q = q_ref[j]  # (Tq_tile, hd) pre-scaled
         kt = kt_ref[j]  # (hd, Tk) pre-scaled
@@ -56,10 +66,19 @@ def _dense_attn_kernel(q_ref, kt_ref, v_ref, out_ref, *, bh_tile: int,
             q, kt, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (Tq_tile, Tk)
-        s = jnp.where(valid, s, NEG_INF)
-        m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s - m)
-        w = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(compute)
+        if fast:
+            sb = jnp.where(valid, s.astype(jnp.bfloat16),
+                           jnp.bfloat16(NEG_INF))
+            m = jnp.max(sb, axis=-1, keepdims=True)
+            p = jnp.exp(sb - m)  # bf16 exp: 2 lanes/elt
+            denom = jax.lax.dot(p, ones,
+                                preferred_element_type=jnp.float32)
+            w = p * (1.0 / denom).astype(jnp.bfloat16)
+        else:
+            s = jnp.where(valid, s, NEG_INF)
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m)
+            w = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(compute)
         out_ref[j] = jax.lax.dot_general(
             w, v_ref[j].astype(compute),
             dimension_numbers=(((1,), (0,)), ((), ())),
@@ -67,13 +86,15 @@ def _dense_attn_kernel(q_ref, kt_ref, v_ref, out_ref, *, bh_tile: int,
         ).astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("bh_tile", "tq_tile", "interpret"))
+@functools.partial(jax.jit, static_argnames=("bh_tile", "tq_tile",
+                                              "fast_softmax", "interpret"))
 def dense_attention(
     q: jnp.ndarray,  # (B, H, Tq, hd) — pre-scaled by hd**-0.25
     k: jnp.ndarray,  # (B, H, Tk, hd) — pre-scaled
     v: jnp.ndarray,  # (B, H, Tk, hd)
     bh_tile: int = 4,
     tq_tile: int = 512,
+    fast_softmax: bool | None = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Full (non-causal) attention with whole-Tk rows in VMEM.
@@ -81,6 +102,10 @@ def dense_attention(
     Tq is additionally tiled so the f32 score block stays inside the 16 MB
     scoped-VMEM budget: (tq_tile, Tkp) f32 ≈ 3 MB at the encoder shapes.
     """
+    if fast_softmax is None:
+        import os
+
+        fast_softmax = os.environ.get("WTPU_DENSE_SOFTMAX", "f32") == "bf16"
     B, H, Tq, hd = q.shape
     Tk = k.shape[2]
     BH = B * H
@@ -103,7 +128,8 @@ def dense_attention(
         vf = jnp.pad(vf, ((0, BHp - BH), (0, 0), (0, 0)))
 
     out = pl.pallas_call(
-        functools.partial(_dense_attn_kernel, bh_tile=bh_tile, valid_len=Tk),
+        functools.partial(_dense_attn_kernel, bh_tile=bh_tile, valid_len=Tk,
+                          fast_softmax=fast_softmax),
         grid=(BHp // bh_tile, Tqp // tq_tile),
         in_specs=[
             pl.BlockSpec((bh_tile, tq_tile, hd), lambda i, t: (i, t, 0)),
