@@ -439,3 +439,28 @@ def test_dense_rows_min_override(monkeypatch):
     monkeypatch.delenv("WTPU_DENSE_ROWS_MIN")
     out = maybe_dense_decode_params(tree, rows=56)
     assert not isinstance(out["w"], QuantTensor)  # converted
+
+
+def test_fewrow_mbt_optin(monkeypatch):
+    """WTPU_FEWROW_MBT=1: few-row decode params ride the transposed
+    DMA-ring layout (QuantTensorT), cached across calls; dequantizes back
+    to the same weights. Default keeps the packed tree."""
+    import numpy as np
+
+    from whisper_mlx_tpu.ops.quant import (
+        QuantTensor, dequantize, maybe_dense_decode_params, quantize)
+    from whisper_mlx_tpu.ops.quant_pallas_mb import QuantTensorT
+
+    rng = np.random.default_rng(1)
+    w = rng.standard_normal((128, 128)).astype(np.float32)
+    w_q, s, b = quantize(w, bits=4, group_size=64)
+    tree = {"w": QuantTensor(jnp.asarray(w_q), jnp.asarray(s),
+                             jnp.asarray(b), 4, 64)}
+    assert maybe_dense_decode_params(tree, rows=6) is tree  # default packed
+
+    monkeypatch.setenv("WTPU_FEWROW_MBT", "1")
+    out = maybe_dense_decode_params(tree, rows=6)
+    assert isinstance(out["w"], QuantTensorT)
+    assert maybe_dense_decode_params(tree, rows=6) is out  # cached
+    np.testing.assert_array_equal(
+        np.asarray(out["w"].dequantize()), dequantize(w_q, s, b, 4, 64))

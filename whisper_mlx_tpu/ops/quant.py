@@ -597,6 +597,17 @@ def maybe_dense_decode_params(params, rows: int, dtype=jnp.bfloat16):
     # to force packed residency at batch — re-measuring the policy against
     # new kernels, e.g. the multi-buffered DMA ring in quant_pallas_mb)
     if rows <= int(os.environ.get("WTPU_DENSE_ROWS_MIN", "16")):
+        if os.environ.get("WTPU_FEWROW_MBT", "0") == "1":
+            # opt-in: few-row decode rides the transposed DMA-ring layout
+            # (u8 dequant) instead of the packed production kernel;
+            # cached so the fallback ladder reuses one transpose
+            key = ("mbt", id(params))
+            hit = _DENSE_DECODE_CACHE.get(key)
+            if hit is not None and hit[0] is params:
+                return hit[1]
+            mbt = prepare_mbt_params(params)
+            _DENSE_DECODE_CACHE[key] = (params, mbt)
+            return mbt
         return params
     key = id(params)
     hit = _DENSE_DECODE_CACHE.get(key)
