@@ -142,7 +142,11 @@ def _require_backend(total_budget_s: float) -> None:
         try:
             proc = subprocess.run(
                 [sys.executable, "-c",
-                 "import jax; print(jax.devices())"],
+                 "import sys; sys.path.insert(0, %r); "
+                 "from whisper_mlx_tpu.runtime.platform import ensure_platform; "
+                 "ensure_platform(); "
+                 "import jax; print(jax.devices())"
+                 % (os.path.dirname(os.path.abspath(__file__)) or ".")],
                 capture_output=True, text=True,
                 # per-attempt cap: natural UNAVAILABLE lands ~1500s; only
                 # kill as a last resort (a mid-init kill can worsen a wedge)
@@ -165,6 +169,12 @@ def _require_backend(total_budget_s: float) -> None:
 def main() -> None:
     import dataclasses
 
+    # honor JAX_PLATFORMS before backend init (the image's sitecustomize
+    # pins the TPU backend otherwise — CLAUDE.md); enables CPU dry-runs
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)) or ".")
+    from whisper_mlx_tpu.runtime.platform import ensure_platform
+
+    ensure_platform()
     _require_backend(float(os.environ.get("BENCH_INIT_TIMEOUT", "2700")))
 
     import jax
@@ -197,6 +207,11 @@ def main() -> None:
     kv_bits = int(os.environ.get("BENCH_KV", "4"))  # 0=bf16, 8/4 = int8/int4 cross-KV
     self_kv = int(os.environ.get("BENCH_SELF_KV", "8"))  # int8 self-KV
     beam = int(os.environ.get("BENCH_BEAM", "0"))  # 0=greedy, N=beam size
+    # BENCH_PIPELINE=K (K>1): steady-state serving mode — K window batches
+    # in flight, each batch's host dispatch/fetch round-trips overlapped
+    # with the previous batch's device execution (decode(defer=True)).
+    # K=1 (default) = the conservative single-batch latency measurement.
+    pipeline_k = int(os.environ.get("BENCH_PIPELINE", "1"))
 
     # self-KV layout: "tminor" (default) or "tmajor" (BENCH_SELF_LAYOUT /
     # WTPU_SELF_KV_LAYOUT; ops/kv_quant.py attention_int8_tmajor)
@@ -233,9 +248,9 @@ def main() -> None:
         beam_size=beam or None,
     )
 
-    def pipeline():
+    def pipeline(defer: bool = False):
         mel = jax.vmap(lambda a: log_mel_spectrogram(a, n_mels=config.n_mels))(audio_dev)
-        return decode(params, mel, tok, config, options)
+        return decode(params, mel, tok, config, options, defer=defer)
 
     t0 = time.perf_counter()
     pipeline()  # compile + warmup
@@ -244,8 +259,15 @@ def main() -> None:
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        pipeline()
-        times.append(time.perf_counter() - t0)
+        if pipeline_k > 1 and not beam:
+            # steady-state: dispatch all K batches (async), fetch in order
+            handles = [pipeline(defer=True) for _ in range(pipeline_k)]
+            for h in handles:
+                h()
+            times.append((time.perf_counter() - t0) / pipeline_k)
+        else:
+            pipeline()
+            times.append(time.perf_counter() - t0)
     best = min(times)
 
     audio_seconds = batch * 30.0
@@ -258,20 +280,28 @@ def main() -> None:
         "vs_baseline": round(rtf_per_chip / 50.0, 3),
     }
     print(json.dumps(line))
-    try:  # committed measurement history for the judge
-        with open(os.path.join(os.path.dirname(__file__) or ".",
-                               "bench_history.jsonl"), "a") as f:
-            f.write(json.dumps({
-                **line, "batch": batch, "sample_len": sample_len,
-                "flash": use_flash, "quant": quant_bits, "kv": kv_bits,
-                "self_kv": self_kv, "beam": beam, "best_s": round(best, 3),
-                **({"self_layout": self_layout}
-                   if self_layout != "tminor" else {}),
-                **({"kv_layout": kv_layout}
-                   if kv_layout != "tminor" else {}),
-            }) + "\n")
-    except OSError:
-        pass
+    on_tpu = jax.default_backend() == "tpu"
+    if not on_tpu:
+        # CPU dry-runs (verification) must not pollute the committed
+        # hardware measurement history
+        print(f"# non-tpu backend ({jax.default_backend()}): history skip",
+              file=sys.stderr)
+    if on_tpu:
+        try:  # committed measurement history for the judge
+            with open(os.path.join(os.path.dirname(__file__) or ".",
+                                   "bench_history.jsonl"), "a") as f:
+                f.write(json.dumps({
+                    **line, "batch": batch, "sample_len": sample_len,
+                    "flash": use_flash, "quant": quant_bits, "kv": kv_bits,
+                    "self_kv": self_kv, "beam": beam, "best_s": round(best, 3),
+                    **({"self_layout": self_layout}
+                       if self_layout != "tminor" else {}),
+                    **({"kv_layout": kv_layout}
+                       if kv_layout != "tminor" else {}),
+                    **({"pipeline": pipeline_k} if pipeline_k > 1 else {}),
+                }) + "\n")
+        except OSError:
+            pass
     print(
         f"# model={model_name} batch={batch} sample_len={sample_len} "
         f"flash={use_flash} quant={quant_bits} kv={kv_bits} self_kv={self_kv} beam={beam} "

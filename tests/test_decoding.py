@@ -58,6 +58,22 @@ def test_greedy_deterministic(tiny_model):
     assert [r.tokens for r in r1] == [r.tokens for r in r2]
 
 
+def test_defer_matches_eager(tiny_model):
+    """decode(defer=True) dispatches the device work and postpones only the
+    host fetch/ranking — results must be identical to the eager call, and
+    multiple deferred batches may be in flight at once (bench.py
+    BENCH_PIPELINE steady-state mode)."""
+    params, config, tok, mel = tiny_model
+    opts = DecodingOptions(sample_len=24)
+    eager = decode(params, mel, tok, config, opts)
+    h1 = decode(params, mel, tok, config, opts, defer=True)
+    h2 = decode(params, mel, tok, config, opts, defer=True)
+    assert callable(h1)
+    for deferred in (h1(), h2()):
+        assert [r.tokens for r in deferred] == [r.tokens for r in eager]
+        assert [r.text for r in deferred] == [r.text for r in eager]
+
+
 def test_without_timestamps(tiny_model):
     """Reference semantics: without_timestamps appends <|notimestamps|> to the
     sot sequence and disables the timestamp grammar — it does NOT hard-mask

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import zlib
 from dataclasses import dataclass
-from typing import Sequence
+from typing import Callable, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -169,12 +169,20 @@ def decode(
     *,
     states_precomputed: bool = False,
     rng: jax.Array | None = None,
-) -> list[DecodingResult]:
+    defer: bool = False,
+) -> "list[DecodingResult] | Callable[[], list[DecodingResult]]":
     """Decode a batch of 30 s windows → one DecodingResult per window.
 
     ``mel_or_states``: (batch, 3000, n_mels) mel, or (batch, 1500, d)
     encoder states when ``states_precomputed`` (the transcribe seek loop
     reuses encoder output across the temperature-fallback ladder).
+
+    ``defer=True`` returns a zero-arg callable instead of the result list:
+    all device work is DISPATCHED (jax dispatch is async) but the
+    device→host fetch happens when the callable runs. Callers overlap the
+    next batch's dispatch with the current batch's execution —
+    steady-state serving hides the per-batch host round-trips behind
+    device compute (greedy path only).
     """
     # packed 4/8-bit checkpoints: at batched decode shapes, dense weights
     # passed as jit ARGUMENTS are the fastest serving form measured on v5e
@@ -190,6 +198,7 @@ def decode(
     if options.beam_size is not None:
         from whisper_mlx_tpu.decoding.beam import beam_decode_task
 
+        assert not defer, "defer is greedy-only"
         return beam_decode_task(
             params, mel_or_states, tokenizer, config, options,
             states_precomputed=states_precomputed,
@@ -250,11 +259,27 @@ def decode(
         phases=_self_phases(),
     )
 
-    tokens_np = np.asarray(result.tokens)
-    lengths = np.asarray(result.lengths)
-    sum_lp = np.asarray(result.sum_logprobs)
-    ns_probs = np.asarray(result.no_speech_probs)
+    def finalize() -> list[DecodingResult]:
+        # one batched fetch (vs four np.asarray round-trips through the
+        # device relay); this is the only host sync in the greedy path
+        tokens_np, lengths, sum_lp, ns_probs = jax.device_get(
+            (result.tokens, result.lengths, result.sum_logprobs,
+             result.no_speech_probs)
+        )
+        return _rank_greedy(tokens_np, lengths, sum_lp, ns_probs, batch,
+                            n_candidates, sample_begin, tokenizer, options)
 
+    if defer:
+        return finalize
+    return finalize()
+
+
+def _rank_greedy(tokens_np, lengths, sum_lp, ns_probs, batch: int,
+                 n_candidates: int, sample_begin: int,
+                 tokenizer: WhisperTokenizer,
+                 options: DecodingOptions) -> list[DecodingResult]:
+    """Host-side tail of :func:`decode`: pick the best candidate per window
+    (MaximumLikelihoodRanker semantics) and build DecodingResults."""
     results: list[DecodingResult] = []
     for w in range(batch):
         cands = range(w * n_candidates, (w + 1) * n_candidates)
