@@ -145,22 +145,39 @@ class TranscriptionBatcher:
             self._worker = asyncio.get_event_loop().create_task(self._run())
 
     async def _run(self) -> None:
-        while True:
-            jobs = [await self._queue.get()]
-            deadline = time.monotonic() + self.max_wait_ms / 1000.0
-            while len(jobs) < self.batch_size:
-                remaining = deadline - time.monotonic()
-                if remaining <= 0 and self._queue.empty():
-                    break
-                try:
-                    jobs.append(await asyncio.wait_for(
-                        self._queue.get(), timeout=max(remaining, 0.001)
-                    ))
-                except asyncio.TimeoutError:
-                    break
-            await asyncio.to_thread(self._flush, jobs)
+        # one-step-lag pipelining (same pattern as inference/batch_engine):
+        # batch i executes on device while batch i+1 is collected and
+        # DISPATCHED (decode defer=True) — the host dispatch/fetch
+        # round-trips hide behind device compute. At most one extra batch
+        # is in flight, bounding device memory.
+        pending: asyncio.Task | None = None
+        try:
+            while True:
+                jobs = [await self._queue.get()]
+                deadline = time.monotonic() + self.max_wait_ms / 1000.0
+                while len(jobs) < self.batch_size:
+                    remaining = deadline - time.monotonic()
+                    if remaining <= 0 and self._queue.empty():
+                        break
+                    try:
+                        jobs.append(await asyncio.wait_for(
+                            self._queue.get(), timeout=max(remaining, 0.001)
+                        ))
+                    except asyncio.TimeoutError:
+                        break
+                finalize = await asyncio.to_thread(self._launch, jobs)
+                if pending is not None:
+                    await pending
+                pending = asyncio.create_task(
+                    asyncio.to_thread(self._complete, jobs, finalize)
+                )
+        finally:
+            if pending is not None:
+                await pending
 
-    def _flush(self, jobs: list[_WindowJob]) -> None:
+    def _launch(self, jobs: list[_WindowJob]):
+        """Dispatch one padded window batch (mel→encode→decode); returns the
+        decode finalize callable without waiting for device execution."""
         real = len(jobs)
         mel = np.stack([j.mel for j in jobs])
         if real < self.batch_size:  # pad to the compile shape
@@ -169,10 +186,20 @@ class TranscriptionBatcher:
                 np.zeros((self.batch_size - real, *mel.shape[1:]), np.float32),
             ])
         states = encode(self.params, jnp.asarray(mel), self.config)
-        results = decode(
+        if self.decoding.beam_size is not None:  # defer is greedy-only
+            results = decode(
+                self.params, states, self.tokenizer, self.config,
+                self.decoding, states_precomputed=True,
+            )
+            return lambda: results
+        return decode(
             self.params, states, self.tokenizer, self.config, self.decoding,
-            states_precomputed=True,
+            states_precomputed=True, defer=True,
         )
+
+    def _complete(self, jobs: list[_WindowJob], finalize) -> None:
+        results = finalize()
+        real = len(jobs)
         self.stats["batches"] += 1
         self.stats["windows"] += real
         self.stats["fill_sum"] += real / self.batch_size
