@@ -87,12 +87,15 @@ def test_batched_ladder_redecodes_only_pending(tiny, monkeypatch):
     real_decode = tr.decode
 
     def spy(params_, states, tokenizer_, config_, options, **kw):
+        # the pipelined chunk loop launches rung 0 with defer=True; finalize
+        # eagerly here so the spy can mutate results, and re-wrap
+        deferred = kw.pop("defer", False)
         results = real_decode(params_, states, tokenizer_, config_, options, **kw)
         fp = np.asarray(states[:, 0, :2])  # per-row fingerprint
         calls.append({"batch": states.shape[0], "t": options.temperature, "fp": fp})
         if options.temperature == 0.0 and states.shape[0] == 4:
             results[1].avg_logprob = -2e6  # force window 1 onto the ladder
-        return results
+        return (lambda: results) if deferred else results
 
     # threshold far below any real random-weight logprob: only the spy-forced
     # window fails rung 0, so rung 1 must shrink to that single window

@@ -530,7 +530,19 @@ def _transcribe_batched(
                              or decode_options.get("best_of") or 1),
         dtype=config.dtype)
 
-    for start in range(0, n_windows, window_batch_size):
+    def _rung_opts(t: float) -> DecodingOptions:
+        opts = DecodingOptions(
+            task=tokenizer.task, language=tokenizer.language, temperature=t,
+            prompt=prompt, **decode_options,
+        )
+        if t > 0:
+            opts = replace(opts, beam_size=None, patience=None)
+        return opts
+
+    def _launch_chunk(start: int):
+        """Dispatch one chunk's encode + first ladder rung; defer the fetch
+        so the NEXT chunk's dispatch overlaps this one's device execution
+        (cross-chunk pipelining — chunks are independent windows)."""
         chunk = mel_batch[start : start + window_batch_size]
         # pad chunk to the full batch size so one executable serves all chunks
         real = chunk.shape[0]
@@ -539,21 +551,32 @@ def _transcribe_batched(
                 [chunk, np.zeros((window_batch_size - real, *chunk.shape[1:]), np.float32)]
             )
         states = encode(params, jnp.asarray(chunk), config)
+        opts0 = _rung_opts(temperatures[0])
+        rng0 = jax.random.PRNGKey(int(temperatures[0] * 1000))
+        if opts0.beam_size is not None:  # defer is greedy-only
+            r0 = decode(params, states, tokenizer, config, opts0,
+                        states_precomputed=True, rng=rng0)
+            fin0 = lambda: r0  # noqa: E731
+        else:
+            fin0 = decode(params, states, tokenizer, config, opts0,
+                          states_precomputed=True, rng=rng0, defer=True)
+        return chunk, real, states, fin0
+
+    starts = list(range(0, n_windows, window_batch_size))
+    launched = _launch_chunk(starts[0])
+    for si, start in enumerate(starts):
+        chunk, real, states, fin0 = launched
+        if si + 1 < len(starts):  # one-step-lag: dispatch the next chunk now
+            launched = _launch_chunk(starts[si + 1])
         results = [None] * real
         pending = list(range(real))
         for ti, t in enumerate(temperatures):
             if not pending:
                 break
-            opts = DecodingOptions(
-                task=tokenizer.task, language=tokenizer.language, temperature=t,
-                prompt=prompt, **decode_options,
-            )
-            if t > 0:
-                opts = replace(opts, beam_size=None, patience=None)
             if ti == 0:
-                # first rung: every window decodes; reuse the full-batch
-                # executable (temperature is traced — decoding/greedy.py)
-                sub_states, idx_map = states, list(range(real))
+                # first rung: every window decodes; result was dispatched in
+                # _launch_chunk (temperature is traced — decoding/greedy.py)
+                batch_results, idx_map = fin0(), list(range(real))
             else:
                 # retry rungs decode ONLY the pending windows (VERDICT r2
                 # item 6: re-decoding the whole chunk multiplies serving
@@ -564,10 +587,11 @@ def _transcribe_batched(
                 sel = (pending + [pending[-1]] * (bucket - len(pending)))[:bucket]
                 sub_states = states[jnp.asarray(sel)]
                 idx_map = pending
-            batch_results = decode(
-                params, sub_states, tokenizer, config, opts,
-                states_precomputed=True, rng=jax.random.PRNGKey(int(t * 1000)),
-            )
+                batch_results = decode(
+                    params, sub_states, tokenizer, config, _rung_opts(t),
+                    states_precomputed=True,
+                    rng=jax.random.PRNGKey(int(t * 1000)),
+                )
             still = []
             for j, i in enumerate(idx_map):
                 r = batch_results[j]
