@@ -133,18 +133,26 @@ def find_alignment(
     heads = alignment_heads or default_alignment_heads(config)
     sot_seq = list(tokenizer.sot_sequence)
     tokens = sot_seq + [tokenizer.no_timestamps] + list(text_tokens) + [tokenizer.eot]
+    n_real = len(tokens)
 
     if config.kv_bits or config.self_kv_bits:
         # alignment needs full-precision cross-attention weights
         import dataclasses
 
         config = dataclasses.replace(config, kv_bits=0, self_kv_bits=0)
+    # bucket the teacher-forced prefill length (pad with EOT to the next
+    # multiple of 32): every distinct token count would otherwise trace and
+    # compile its OWN executable — minutes per length through this
+    # environment's remote-compile relay. Causality makes pad rows inert;
+    # all reads below slice the real n_real rows.
+    n_pad = min(-(-n_real // 32) * 32, config.n_text_ctx)
+    tokens_in = tokens + [tokenizer.eot] * (n_pad - n_real)
     states = encode(params, jnp.asarray(mel_window)[None], config)
     xkv = cross_kv(params, states, config)
     cache = init_kv_cache(config, 1)
     logits, _, cross = decode_step(
-        params, jnp.asarray([tokens], jnp.int32), jnp.int32(0), cache, xkv, config,
-        collect_cross_attn=True,
+        params, jnp.asarray([tokens_in], jnp.int32), jnp.int32(0), cache, xkv,
+        config, collect_cross_attn=True,
     )
     # token probabilities (text vocab only), positions predicting text_tokens
     lg = np.asarray(logits[0].astype(jnp.float32))  # (T, V)
@@ -153,10 +161,12 @@ def find_alignment(
     probs /= probs.sum(-1, keepdims=True)
     text_token_probs = probs[np.arange(len(text_tokens)), text_tokens]
 
-    # cross: (layers, 1, heads, T, 1500) → selected heads (H, T, frames)
+    # cross: (layers, 1, heads, T, 1500) → selected heads (H, T, frames);
+    # keep only the n_real true token rows (the T-axis normalization below
+    # must not see the bucket-pad rows)
     cross_np = np.asarray(cross[:, 0].astype(jnp.float32))
     w = np.stack([cross_np[l, h] for l, h in heads])  # (H, T, 1500)
-    w = w[:, :, : num_frames // 2]
+    w = w[:, :n_real, : num_frames // 2]
     w = w / np.maximum(w.sum(-1, keepdims=True), 1e-9)  # renorm over sliced frames
     mean = w.mean(axis=-2, keepdims=True)
     std = w.std(axis=-2, keepdims=True)
