@@ -232,3 +232,21 @@ def test_missing_dependency_tools_fail_gracefully():
 
     r = json.loads(ocr_document.execute(path="/nonexistent.png"))
     assert "error" in r
+
+
+def test_browser_screenshot_demo_tool():
+    """Demo-only screenshot tool (reference demo_browser_agent.py:116-121):
+    unregistered (matching reference), playwright-gated, wired into the demo
+    agent's toolset."""
+    import asyncio
+
+    from whisper_mlx_tpu.agents.browser_demo import DEMO_TOOLS
+    from whisper_mlx_tpu.serving.tools.browser.browser_screenshot import (
+        browser_screenshot,
+    )
+    from whisper_mlx_tpu.serving.tools.registry import get_registry
+
+    assert "browser_screenshot" not in get_registry().available_tools
+    assert "browser_screenshot" not in DEMO_TOOLS  # appended directly
+    r = json.loads(asyncio.run(browser_screenshot.execute()))
+    assert "error" in r and r.get("missing_dependency") == "playwright"

@@ -19,9 +19,15 @@ def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser("browser demo agent")
     parser.add_argument("--model-size", default="large")
     args = parser.parse_args(argv)
+    # browser_screenshot exists only in the reference's demo agent
+    # (demo_browser_agent.py:116-121), not in the daemon registry — same here
+    from whisper_mlx_tpu.serving.tools.browser.browser_screenshot import (
+        TOOL as screenshot_tool,
+    )
+
     agent = ToolCallingAgent(
         model=make_model(args.model_size),
-        tools=get_registry().get_tools(DEMO_TOOLS),
+        tools=get_registry().get_tools(DEMO_TOOLS) + [screenshot_tool],
         system_prompt="You browse the web to answer questions. Use the tools.",
         max_tool_rounds=6,
     )
