@@ -68,7 +68,9 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 config = dataclasses.replace(
     WHISPER_CONFIGS["large-v3"], dtype=jnp.bfloat16,
-    flash_attention=True, kv_bits=8, self_kv_bits=8,
+    flash_attention=True,
+    kv_bits=int(os.environ.get("BENCH_KV", "4")),        # serving default int4 cross
+    self_kv_bits=int(os.environ.get("BENCH_SELF_KV", "8")),
 )
 H = config.n_text_head          # 20
 HD = config.head_dim            # 64

@@ -102,3 +102,35 @@ def test_stream_transcribe_progressive(tiny):
     assert {e["window"] for e in events} == {0, 1, 2}
     assert all(e["of"] == 3 for e in events)
     assert all("segments" in e for e in events)
+
+
+def test_worker_failure_fails_waiters_and_recovers(tiny):
+    """A failing batch must raise in every awaiting request (not hang), wake
+    streaming consumers, and the batcher must serve the NEXT request after a
+    clean worker restart (same drain discipline as inference/batch_engine)."""
+    params, config, tok = tiny
+    batcher = TranscriptionBatcher(
+        params, config, tok, batch_size=2, max_wait_ms=10,
+        decoding=DecodingOptions(sample_len=8),
+    )
+    real_launch = batcher._launch
+
+    def boom(jobs):
+        raise RuntimeError("device exploded")
+
+    async def run():
+        audio = make_speechy_audio(seconds=20.0)  # 1 window
+        batcher._launch = boom
+        with pytest.raises(RuntimeError, match="device exploded"):
+            await asyncio.wait_for(batcher.transcribe(audio), timeout=30)
+        with pytest.raises(RuntimeError, match="device exploded"):
+            agen = batcher.stream_transcribe(audio)
+            await asyncio.wait_for(agen.__anext__(), timeout=30)
+        assert not batcher._requests  # no leaked request entries
+        batcher._launch = real_launch  # next request restarts the worker
+        r = await asyncio.wait_for(batcher.transcribe(audio), timeout=60)
+        batcher.shutdown()
+        return r
+
+    r = asyncio.run(run())
+    assert set(r) >= {"text", "segments", "language"}

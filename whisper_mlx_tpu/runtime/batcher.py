@@ -80,10 +80,14 @@ class TranscriptionBatcher:
 
     async def transcribe(self, audio: np.ndarray) -> dict[str, Any]:
         """Enqueue all windows of ``audio``; resolves when every window is
-        decoded. Returns the reference transcription dict."""
+        decoded. Returns the reference transcription dict. Raises the
+        worker's exception if the batch it rode in failed (the next request
+        restarts the worker — same drain discipline as batch_engine)."""
         req_id, request = await self._enqueue(audio)
-        results = await request.done
-        del self._requests[req_id]
+        try:
+            results = await request.done
+        finally:
+            del self._requests[req_id]
         return self._assemble(results)
 
     async def stream_transcribe(self, audio: np.ndarray):
@@ -94,6 +98,8 @@ class TranscriptionBatcher:
             emitted = 0
             while emitted < request.n_windows:
                 item = await request.events.get()
+                if isinstance(item, BaseException):  # worker failure
+                    raise item
                 emitted += 1
                 w, (time_offset, result) = item
                 partial = self._assemble({w: (time_offset, result)})
@@ -171,9 +177,32 @@ class TranscriptionBatcher:
                 pending = asyncio.create_task(
                     asyncio.to_thread(self._complete, jobs, finalize)
                 )
+        except asyncio.CancelledError:
+            raise
+        except BaseException as exc:
+            # a failed launch/completion must not strand waiters: fail every
+            # incomplete request's future (and wake streaming consumers),
+            # then end cleanly (a re-raise would log "exception never
+            # retrieved" — the waiters already carry it) — _ensure_worker
+            # restarts on the next enqueue, and stale queued jobs of failed
+            # requests are skipped in _complete
+            self._fail_incomplete(exc)
         finally:
             if pending is not None:
-                await pending
+                try:
+                    await pending
+                except BaseException as exc:  # noqa: BLE001
+                    self._fail_incomplete(exc)
+
+    def _fail_incomplete(self, exc: BaseException) -> None:
+        for request in self._requests.values():
+            if not request.done.done():
+                request.done.set_exception(exc)
+                # streaming consumers read .events, never .done — retrieve
+                # the exception so GC doesn't log "never retrieved"
+                request.done.exception()
+            if request.events is not None:
+                request.events.put_nowait(exc)
 
     def _launch(self, jobs: list[_WindowJob]):
         """Dispatch one padded window batch (mel→encode→decode); returns the
