@@ -258,7 +258,11 @@ def quant_matmul_mbt(x: jnp.ndarray, qt: QuantTensorT,
         depth = qt.depth
     import os
 
-    dq_mode = os.environ.get("WTPU_MBT_DQ", "u8")
+    # measured on v5e (bench_history.jsonl): planar 52.1 tok/s vs u8 47.3
+    # at qwen-7B B=1 — the u8 nibble split saves VPU ops in isolation but
+    # loses e2e (the sublane-expanding bitcast serializes against the DMA
+    # ring); planar stays the default, u8 remains the documented opt-in
+    dq_mode = os.environ.get("WTPU_MBT_DQ", "planar")
     if qt.bits != 4:
         dq_mode = "planar"  # u8 nibble split is 4-bit-specific
     *lead, K = x.shape
