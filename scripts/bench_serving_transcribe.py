@@ -41,9 +41,16 @@ import jax.numpy as jnp  # noqa: E402
 
 CONCURRENCY = int(os.environ.get("SERVE_CONCURRENCY", "7"))
 AUDIO_S = float(os.environ.get("SERVE_AUDIO_S", "120"))
-BATCH = int(os.environ.get("SERVE_BATCH", "56"))
+# comma list = batch buckets (runtime/batcher.py): the single-request leg
+# rides the small bucket, the concurrent leg the big one
+BATCH = tuple(int(p) for p in os.environ.get("SERVE_BATCH", "8,56").split(","))
+WAIT_MS = float(os.environ.get("SERVE_WAIT_MS", "250"))
 SAMPLE_LEN = int(os.environ.get("BENCH_SAMPLE_LEN", "224"))
 PORT = int(os.environ.get("SERVE_PORT", "17997"))
+# SERVE_QUANT=4: BASELINE config 5 verbatim — 4-bit quantized large-v3
+# behind the daemon API (batched decode auto-applies the dense-argument
+# policy, ops/quant.py maybe_dense_decode_params)
+QUANT = int(os.environ.get("SERVE_QUANT", "0"))
 
 
 def write_wav(path: str, seconds: float) -> None:
@@ -72,7 +79,7 @@ async def run() -> None:
     import aiohttp
     from aiohttp import web
 
-    from bench import _zeros_params
+    from bench import _zeros_params, _zeros_quant_params
     from whisper_mlx_tpu.decoding.task import DecodingOptions
     from whisper_mlx_tpu.decoding.tokenizer import (
         ByteLevelBPE, WhisperTokenizer, bytes_to_unicode,
@@ -89,11 +96,15 @@ async def run() -> None:
     tok = WhisperTokenizer(ByteLevelBPE(byte_vocab, []), n_base=50257,
                            num_languages=100)
     params = _zeros_params(config, jnp.bfloat16)
+    if QUANT:
+        from whisper_mlx_tpu.ops.quant import fuse_whisper_qkv
+
+        params = fuse_whisper_qkv(_zeros_quant_params(params, QUANT, group_size=64))
 
     app = create_app()
     app["asr"] = (params, config, tok)
     app["batcher"] = TranscriptionBatcher(
-        params, config, tok, batch_size=BATCH,
+        params, config, tok, batch_size=BATCH, max_wait_ms=WAIT_MS,
         decoding=DecodingOptions(sample_len=SAMPLE_LEN, language="en"),
     )
     runner = web.AppRunner(app)
@@ -108,9 +119,14 @@ async def run() -> None:
 
     timeout = aiohttp.ClientTimeout(total=3600)
     async with aiohttp.ClientSession(timeout=timeout) as session:
-        # warm-up: compile the batch executable once
+        # warm-up: compile EVERY bucket executable (a lone request rides the
+        # small bucket; the concurrent burst rides the big one)
         t0 = time.perf_counter()
         await post_json(session, url, {"path": wav_path})
+        await asyncio.gather(*[
+            post_json(session, url, {"path": wav_path})
+            for _ in range(CONCURRENCY)
+        ])
         warm_s = time.perf_counter() - t0
 
         # single-request serving rate
@@ -143,6 +159,7 @@ async def run() -> None:
         "single_request_rtf": round(single_rtf, 2),
         "concurrency": CONCURRENCY,
         "audio_s_each": AUDIO_S,
+        "quant": QUANT,
         "batcher": {"batches": stats["batches"], "windows": stats["windows"],
                     "mean_fill": round(stats["fill_sum"] / max(stats["batches"], 1), 3)},
     }

@@ -134,3 +134,27 @@ def test_worker_failure_fails_waiters_and_recovers(tiny):
 
     r = asyncio.run(run())
     assert set(r) >= {"text", "segments", "language"}
+
+
+def test_batch_buckets_pick_smallest_fit(tiny):
+    """With bucket sizes (2, 4), a 1-window request rides the 2-bucket and a
+    3-window request the 4-bucket (fill stats expose the chosen shape); the
+    collect loop still fills up to the LARGEST bucket."""
+    params, config, tok = tiny
+    batcher = TranscriptionBatcher(
+        params, config, tok, batch_size=[4, 2], max_wait_ms=10,
+        decoding=DecodingOptions(sample_len=8),
+    )
+    assert batcher.buckets == (2, 4) and batcher.batch_size == 4
+
+    async def run():
+        r1 = await batcher.transcribe(make_speechy_audio(seconds=20.0))  # 1 win
+        fill_after_1 = batcher.stats["fill_sum"]
+        r2 = await batcher.transcribe(make_speechy_audio(seconds=65.0))  # 3 win
+        batcher.shutdown()
+        return r1, r2, fill_after_1
+
+    r1, r2, fill_after_1 = asyncio.run(run())
+    assert r1["segments"] and r2["segments"]
+    assert fill_after_1 == pytest.approx(1 / 2)          # bucket 2, not 4
+    assert batcher.stats["fill_sum"] == pytest.approx(1 / 2 + 3 / 4)

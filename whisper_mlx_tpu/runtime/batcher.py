@@ -60,14 +60,20 @@ class TranscriptionBatcher:
         params,
         config,
         tokenizer,
-        batch_size: int = 8,
+        batch_size: int | tuple[int, ...] | list[int] = 8,
         max_wait_ms: float = 50.0,
         decoding: DecodingOptions | None = None,
     ) -> None:
         self.params = params
         self.config = config
         self.tokenizer = tokenizer
-        self.batch_size = batch_size
+        # batch-size BUCKETS: each is one compiled decode executable; a
+        # flush rides the smallest bucket that fits its jobs, so a lone
+        # 1-window request doesn't pay the largest compile shape's cost
+        if isinstance(batch_size, int):
+            batch_size = (batch_size,)
+        self.buckets = tuple(sorted(set(batch_size)))
+        self.batch_size = self.buckets[-1]
         self.max_wait_ms = max_wait_ms
         self.decoding = decoding or DecodingOptions()
         self._queue: asyncio.Queue[_WindowJob] = asyncio.Queue()
@@ -208,11 +214,12 @@ class TranscriptionBatcher:
         """Dispatch one padded window batch (mel→encode→decode); returns the
         decode finalize callable without waiting for device execution."""
         real = len(jobs)
+        bucket = next(b for b in self.buckets if b >= real)
         mel = np.stack([j.mel for j in jobs])
-        if real < self.batch_size:  # pad to the compile shape
+        if real < bucket:  # pad to the bucket's compile shape
             mel = np.concatenate([
                 mel,
-                np.zeros((self.batch_size - real, *mel.shape[1:]), np.float32),
+                np.zeros((bucket - real, *mel.shape[1:]), np.float32),
             ])
         states = encode(self.params, jnp.asarray(mel), self.config)
         if self.decoding.beam_size is not None:  # defer is greedy-only
@@ -231,7 +238,9 @@ class TranscriptionBatcher:
         real = len(jobs)
         self.stats["batches"] += 1
         self.stats["windows"] += real
-        self.stats["fill_sum"] += real / self.batch_size
+        self.stats["fill_sum"] += real / next(
+            b for b in self.buckets if b >= real
+        )
         loop_results: list[tuple[_WindowJob, Any]] = list(zip(jobs, results[:real]))
         for job, result in loop_results:
             request = self._requests.get(job.request_id)

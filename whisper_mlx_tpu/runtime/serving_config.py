@@ -15,8 +15,12 @@ Env knobs (all optional):
   WTPU_SERVE_FLASH      1|0             (default: 1 on TPU)
   WTPU_SERVE_KV         4|8|0           (default: 4 on TPU)
   WTPU_SERVE_SELF_KV    8|4|0           (default: 8 on TPU)
-  WTPU_TRANSCRIBE_BATCH window batch for the serving batcher
-                        (default: 56 on TPU, 8 elsewhere)
+  WTPU_TRANSCRIBE_BATCH window batch buckets for the serving batcher —
+                        an int or a comma list, e.g. "8,56"
+                        (default: "8,56" on TPU, 8 elsewhere; each bucket
+                        is one compiled decode executable, and a request
+                        batch rides the smallest bucket that fits, so a
+                        lone short request doesn't pay the 56-slot shape)
 """
 
 from __future__ import annotations
@@ -34,10 +38,20 @@ def _env_int(name: str, default: int) -> int:
 
 
 def serving_batch_size() -> int:
+    return max(serving_batch_buckets())
+
+
+def serving_batch_buckets() -> tuple[int, ...]:
+    """Sorted window-batch buckets for the serving batcher."""
     import jax
 
     on_tpu = jax.default_backend() == "tpu"
-    return _env_int("WTPU_TRANSCRIBE_BATCH", 56 if on_tpu else 8)
+    raw = os.environ.get("WTPU_TRANSCRIBE_BATCH", "8,56" if on_tpu else "8")
+    try:
+        buckets = tuple(sorted({int(p) for p in str(raw).split(",") if p.strip()}))
+    except ValueError:
+        buckets = (56,) if on_tpu else (8,)
+    return buckets or ((56,) if on_tpu else (8,))
 
 
 def apply_asr_serving_config(params: Any, config: Any) -> tuple[Any, Any]:
