@@ -50,12 +50,18 @@ def main() -> None:
     rng = np.random.default_rng(0)
     audio = (rng.standard_normal(int(16_000 * audio_s)) * 0.1).astype(np.float32)
 
+    def run():
+        return transcribe(
+            audio, params=params, config=config, tokenizer=tok,
+            temperature=0.0, language="en", word_timestamps=True,
+            condition_on_previous_text=False, sample_len=64,
+        )
+
     t0 = time.perf_counter()
-    result = transcribe(
-        audio, params=params, config=config, tokenizer=tok,
-        temperature=0.0, language="en", word_timestamps=True,
-        condition_on_previous_text=False, sample_len=64,
-    )
+    run()  # compile + warm (sequential-mode executables are per-shape)
+    warm_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    result = run()
     wall = time.perf_counter() - t0
     n_words = sum(len(s.get("words", [])) for s in result["segments"])
     mono = all(
@@ -68,6 +74,7 @@ def main() -> None:
         "value": round(wall, 2),
         "audio_s": audio_s,
         "rtf": round(audio_s / wall, 2),
+        "warm_s": round(warm_s, 1),
         "segments": len(result["segments"]),
         "words": n_words,
         "word_times_monotone": mono,

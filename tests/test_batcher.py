@@ -158,3 +158,33 @@ def test_batch_buckets_pick_smallest_fit(tiny):
     assert r1["segments"] and r2["segments"]
     assert fill_after_1 == pytest.approx(1 / 2)          # bucket 2, not 4
     assert batcher.stats["fill_sum"] == pytest.approx(1 / 2 + 3 / 4)
+
+
+def test_batcher_quantized_params(tiny):
+    """Packed 4-bit params serve through the batcher: the encoder rides the
+    dense-argument policy (ops/quant.py) and output matches the offline
+    batched transcribe on the same quantized tree."""
+    from whisper_mlx_tpu.inference.transcribe import transcribe
+    from whisper_mlx_tpu.ops.quant import quantize_params
+
+    params, config, tok = tiny
+    qparams = quantize_params(params, bits=4, group_size=32)
+    batcher = TranscriptionBatcher(
+        qparams, config, tok, batch_size=4, max_wait_ms=10,
+        decoding=DecodingOptions(sample_len=8),
+    )
+    audio = make_speechy_audio(seconds=65.0)
+
+    async def run():
+        r = await batcher.transcribe(audio)
+        batcher.shutdown()
+        return r
+
+    got = asyncio.run(run())
+    want = transcribe(
+        audio, params=qparams, config=config, tokenizer=tok,
+        temperature=0.0, language=None, batch_windows=True,
+        window_batch_size=4, sample_len=8, condition_on_previous_text=False,
+    )
+    assert [s["tokens"] for s in got["segments"]] == \
+        [s["tokens"] for s in want["segments"]]

@@ -221,7 +221,16 @@ class TranscriptionBatcher:
                 mel,
                 np.zeros((bucket - real, *mel.shape[1:]), np.float32),
             ])
-        states = encode(self.params, jnp.asarray(mel), self.config)
+        # packed 4/8-bit checkpoints: the ENCODER always runs at
+        # windows×1500 matmul rows, where dense jit-argument weights beat
+        # the fused Pallas kernel (ops/quant.py policy) — bench.py gets
+        # this via decode(mel), but the batcher encodes separately, and
+        # skipping it here measured −20% serving RTF at quant=4
+        from whisper_mlx_tpu.ops.quant import maybe_dense_decode_params
+
+        enc_params = maybe_dense_decode_params(
+            self.params, rows=bucket * mel.shape[1], dtype=self.config.dtype)
+        states = encode(enc_params, jnp.asarray(mel), self.config)
         if self.decoding.beam_size is not None:  # defer is greedy-only
             results = decode(
                 self.params, states, self.tokenizer, self.config,
