@@ -225,20 +225,24 @@ class TranscriptionBatcher:
         # windows×1500 matmul rows, where dense jit-argument weights beat
         # the fused Pallas kernel (ops/quant.py policy) — bench.py gets
         # this via decode(mel), but the batcher encodes separately, and
-        # skipping it here measured −20% serving RTF at quant=4
+        # skipping it here measured −20% serving RTF at quant=4. The same
+        # dense tree (cached, resident anyway) also feeds decode() below —
+        # even for small buckets, where the generic ≤16-row policy would
+        # keep the packed kernel: measured 48.1 vs 56 single-request RTF,
+        # and the dense tree costs no extra HBM once the encoder holds it.
         from whisper_mlx_tpu.ops.quant import maybe_dense_decode_params
 
-        enc_params = maybe_dense_decode_params(
+        params = maybe_dense_decode_params(
             self.params, rows=bucket * mel.shape[1], dtype=self.config.dtype)
-        states = encode(enc_params, jnp.asarray(mel), self.config)
+        states = encode(params, jnp.asarray(mel), self.config)
         if self.decoding.beam_size is not None:  # defer is greedy-only
             results = decode(
-                self.params, states, self.tokenizer, self.config,
+                params, states, self.tokenizer, self.config,
                 self.decoding, states_precomputed=True,
             )
             return lambda: results
         return decode(
-            self.params, states, self.tokenizer, self.config, self.decoding,
+            params, states, self.tokenizer, self.config, self.decoding,
             states_precomputed=True, defer=True,
         )
 
