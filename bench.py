@@ -274,7 +274,8 @@ def main() -> None:
     rtf_per_chip = audio_seconds / best / jax.device_count()
 
     line = {
-        "metric": "rtf_per_chip_large_v3",
+        "metric": f"rtf_per_chip_{model_name.replace('-', '_')}"
+        if model_name != "large-v3" else "rtf_per_chip_large_v3",
         "value": round(rtf_per_chip, 2),
         "unit": "audio_sec/sec/chip",
         "vs_baseline": round(rtf_per_chip / 50.0, 3),

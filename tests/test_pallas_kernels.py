@@ -139,6 +139,42 @@ def test_quant_matmul_mbt_u8_dequant_mode(monkeypatch):
         np.testing.assert_allclose(out_pl, ref, atol=2e-4, rtol=2e-4)
 
 
+def test_quant_matmul_mbt_i8_codes_resident(monkeypatch):
+    """i8 codes-resident mode (WTPU_MBT_DQ=i8): one unpacked code per
+    byte, dequant = one cast + mul. Matches the packed planar kernel
+    bit-exactly (same contraction order, natural k rows), and
+    dequantize() round-trips for the large-M/prefill fallback."""
+    from whisper_mlx_tpu.ops.quant_pallas_mb import (
+        QuantTensorT, quant_matmul_mbt, transpose_quant)
+
+    monkeypatch.setenv("WTPU_MBT_DQ", "i8")
+    rng = np.random.default_rng(5)
+    for (M, K, N) in [(1, 128, 384), (3, 256, 200)]:
+        w = rng.standard_normal((N, K)).astype(np.float32)
+        w_q, scales, biases = quantize(w, bits=4, group_size=64)
+        q = QuantTensor(jnp.asarray(w_q), jnp.asarray(scales),
+                        jnp.asarray(biases), 4, 64)
+        qt = transpose_quant(q, tile_n=128, depth=2)
+        assert isinstance(qt, QuantTensorT) and qt.codes_resident
+        assert qt.wqt.shape == (K, N) and qt.wqt.dtype == jnp.int8
+        assert qt.shape == (N, K)
+        np.testing.assert_allclose(
+            np.asarray(qt.dequantize()),
+            dequantize(w_q, scales, biases, 4, 64), atol=1e-5, rtol=1e-5)
+
+        x = rng.standard_normal((M, K)).astype(np.float32)
+        ref = x @ dequantize(w_q, scales, biases, 4, 64).T
+        out = np.asarray(
+            quant_matmul_mbt.__wrapped__(jnp.asarray(x), qt, None, None, True))
+        np.testing.assert_allclose(out, ref, atol=2e-4, rtol=2e-4)
+
+        # 8-bit tensors ignore the i8 request (codes 0..255 overflow i8)
+        w_q8, s8, b8 = quantize(w, bits=8, group_size=64)
+        qt8 = transpose_quant(QuantTensor(jnp.asarray(w_q8), jnp.asarray(s8),
+                                          jnp.asarray(b8), 8, 64))
+        assert not qt8.codes_resident
+
+
 def _sdpa_ref(q, k, v, causal=False):
     s = np.einsum("bhqd,bhkd->bhqk", q, k).astype(np.float32)
     if causal:

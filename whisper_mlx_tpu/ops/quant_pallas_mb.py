@@ -71,7 +71,12 @@ def _u8_perm(K: int):
 class QuantTensorT:
     """A QuantTensor pre-transposed for the mb kernel's slab DMAs.
 
-    wqt: (K // per_word, N) uint32; scalest/biasest: (G, N).
+    wqt: (K // per_word, N) uint32 — or, in the i8 CODES-RESIDENT mode
+    (``WTPU_MBT_DQ=i8``, 4-bit only), (K, N) int8 holding one unpacked
+    code per byte: 2× the packed HBM bytes (still 4× under bf16) in
+    exchange for dequant being ONE i8→bf16 cast + multiply instead of the
+    planar 8-plane shift/mask/bitcast/cast chain — the measured VPU wall
+    at LLM B=1 (docs/performance.md). scalest/biasest: (G, N).
     bits/group_size/tile_n/depth are pytree aux data (static under jit),
     so per-leaf tile tuning rides the params tree across jit boundaries.
     """
@@ -87,12 +92,23 @@ class QuantTensorT:
         self.depth = int(depth)
 
     @property
+    def codes_resident(self) -> bool:
+        return self.wqt.dtype == jnp.int8
+
+    @property
     def shape(self):  # natural (out, in), matching QuantTensor
-        kp_words, n = self.wqt.shape
-        return (n, kp_words * (32 // self.bits))
+        kp_rows, n = self.wqt.shape
+        k = kp_rows if self.codes_resident else kp_rows * (32 // self.bits)
+        return (n, k)
 
     def dequantize(self, dtype=jnp.float32):
-        """→ (out, in) floats — CPU/interpret fallback path."""
+        """→ (out, in) floats — CPU/interpret + large-M (prefill) path."""
+        if self.codes_resident:
+            g = self.scalest.shape[0]
+            k, n = self.wqt.shape
+            codes = self.wqt.T.astype(jnp.float32).reshape(n, g, k // g)
+            w = codes * self.scalest.T[..., None] + self.biasest.T[..., None]
+            return w.reshape(n, k).astype(dtype)
         from whisper_mlx_tpu.ops.quant import dequantize
 
         return dequantize(self.wqt.T, self.scalest.T, self.biasest.T,
@@ -112,24 +128,42 @@ class QuantTensorT:
 
 
 def transpose_quant(q: QuantTensor, tile_n: int | None = None,
-                    depth: int | None = None) -> QuantTensorT:
+                    depth: int | None = None,
+                    codes: bool | None = None) -> QuantTensorT:
     """One-time (eager) layout conversion for :func:`quant_matmul_mbt`.
 
     tile_n/depth default to the shape-keyed sweep winners
     (scripts/bench_quant_mb.py on v5e): wide-N FFN projections like
     gate_up (N ≥ 16k) want a deep ring of big tiles; attention-sized
     projections want a shallow ring of 512 tiles.
+
+    ``codes=True`` (or ``WTPU_MBT_DQ=i8``, 4-bit only) unpacks the words
+    to one int8 code per byte — see :class:`QuantTensorT`.
     """
     import os
 
+    if codes is None:
+        codes = (os.environ.get("WTPU_MBT_DQ", "planar") == "i8"
+                 and q.bits == 4)
     n = q.shape[0]
     if tile_n is None:
         env = os.environ.get("WTPU_MBT_TILE", "")
         tile_n = int(env) if env else (1024 if n >= 16384 else 512)
     if depth is None:
         env = os.environ.get("WTPU_MBT_DEPTH", "")
-        depth = int(env) if env else (8 if n >= 16384 else 2)
-    return QuantTensorT(q.w_q.T, q.scales.T, q.biases.T, q.bits,
+        # i8 slabs are 2× the packed bytes; halve the default ring depth
+        # to keep the VMEM footprint comparable
+        depth = int(env) if env else ((4 if codes else 8) if n >= 16384 else 2)
+    if codes:
+        per_word = 32 // q.bits
+        mask = jnp.uint32((1 << q.bits) - 1)
+        planes = [((q.w_q >> jnp.uint32(i * q.bits)) & mask)
+                  for i in range(per_word)]  # nibble i of word w ↔ k=8w+i
+        wk = jnp.stack(planes, axis=-1).reshape(n, -1)  # (N, K) codes
+        wqt = wk.T.astype(jnp.int8)  # 4-bit codes are 0..15: exact in i8
+    else:
+        wqt = q.w_q.T
+    return QuantTensorT(wqt, q.scales.T, q.biases.T, q.bits,
                         q.group_size, tile_n=tile_n, depth=depth)
 
 
@@ -164,7 +198,12 @@ def _mbt_kernel(x_ref, xg_ref, sct_ref, bit_ref, wqt_hbm, out_ref,
 
     # per-word scale-spread selection matrix: loop-invariant, built once.
     # Row w (a packed word) selects its group w // words_per_group.
-    if dq_mode == "u8":
+    if dq_mode == "i8":
+        # codes-resident: ring rows ARE original k → group k // group_size
+        r_ids = jax.lax.broadcasted_iota(jnp.int32, (kp, g), 0)
+        g_ids = jax.lax.broadcasted_iota(jnp.int32, (kp, g), 1)
+        expand = (r_ids // group_size == g_ids).astype(compute)
+    elif dq_mode == "u8":
         # byte-row granularity: lo/hi byte-rows share shape (4·Kp, T);
         # byte-row m holds k = 8·(m//4) + 2·(m%4) (+1 for hi) → group
         # m // (4 · words_per_group) for both halves.
@@ -190,7 +229,15 @@ def _mbt_kernel(x_ref, xg_ref, sct_ref, bit_ref, wqt_hbm, out_ref,
         scale_w = jax.lax.dot(expand, sct.astype(compute),
                               preferred_element_type=jnp.float32
                               ).astype(compute)  # ((4·)Kp, TILE_N)
-        if dq_mode == "u8":
+        if dq_mode == "i8":
+            # codes-resident: dequant is ONE cast + mul (no shifts/bitcasts)
+            w = wqt.astype(compute) * scale_w  # (K, TILE_N)
+            acc = jax.lax.dot_general(
+                x.astype(compute), w,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        elif dq_mode == "u8":
             # VPU-cheap 4-bit dequant: ONE u32→u8 sublane-expanding
             # bitcast splits each word into bytes (row-major order, see
             # _u8_perm) and a u8 mask extracts 4 nibbles per lane-op.
@@ -262,9 +309,14 @@ def quant_matmul_mbt(x: jnp.ndarray, qt: QuantTensorT,
     # at qwen-7B B=1 — the u8 nibble split saves VPU ops in isolation but
     # loses e2e (the sublane-expanding bitcast serializes against the DMA
     # ring); planar stays the default, u8 remains the documented opt-in
-    dq_mode = os.environ.get("WTPU_MBT_DQ", "planar")
-    if qt.bits != 4:
-        dq_mode = "planar"  # u8 nibble split is 4-bit-specific
+    if qt.codes_resident:
+        dq_mode = "i8"  # layout decided at transpose_quant time
+    else:
+        dq_mode = os.environ.get("WTPU_MBT_DQ", "planar")
+        if dq_mode == "i8":
+            dq_mode = "planar"  # i8 needs the codes-resident layout
+        if qt.bits != 4:
+            dq_mode = "planar"  # u8 nibble split is 4-bit-specific
     *lead, K = x.shape
     x2 = x.reshape(-1, K)
     M = x2.shape[0]
@@ -272,7 +324,7 @@ def quant_matmul_mbt(x: jnp.ndarray, qt: QuantTensorT,
     bits, group_size = qt.bits, qt.group_size
     per_word = 32 // bits
     G = K // group_size
-    assert kp_words == K // per_word
+    assert kp_words == (K if dq_mode == "i8" else K // per_word)
 
     Np = _round_up(N, tile_n)
     n_tiles = Np // tile_n
@@ -280,8 +332,11 @@ def quant_matmul_mbt(x: jnp.ndarray, qt: QuantTensorT,
     Mp = _round_up(max(M, 8), 8)
 
     xg = x2.astype(jnp.float32).reshape(M, G, group_size).sum(-1)
-    perm = _u8_perm(K) if dq_mode == "u8" else _planar_perm(K, per_word)
-    x_planar = x2[:, jnp.asarray(perm)]
+    if dq_mode == "i8":
+        x_planar = x2  # codes rows are natural k order: no permutation
+    else:
+        perm = _u8_perm(K) if dq_mode == "u8" else _planar_perm(K, per_word)
+        x_planar = x2[:, jnp.asarray(perm)]
     x_pad = jnp.zeros((Mp, K), x2.dtype).at[:M].set(x_planar)
     xg_pad = jnp.zeros((Mp, G), jnp.float32).at[:M].set(xg)
     wqt, sct, bit = qt.wqt, qt.scalest, qt.biasest
