@@ -65,6 +65,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--clip-timestamps", default="0")
     p.add_argument("--batch-windows", type=str2bool, default=False,
                    help="TPU high-throughput mode: decode fixed 30s windows in parallel")
+    p.add_argument("--draft-model", default=None,
+                   help="draft checkpoint for speculative greedy decoding "
+                        "(e.g. a large-v3-turbo dir; output is token-"
+                        "identical to plain greedy, only faster)")
+    p.add_argument("--spec-k", type=int, default=4,
+                   help="draft tokens proposed per verify step")
     p.add_argument("--verbose", type=str2bool, default=True)
     return p
 
@@ -127,6 +133,13 @@ def main(argv: list[str] | None = None) -> int:
 
     params, config = apply_asr_serving_config(params, config)
 
+    draft_params = draft_config = None
+    if args.draft_model:
+        draft_params, draft_config, _ = load_model(args.draft_model,
+                                                   args.model_dir)
+        draft_params, draft_config = apply_asr_serving_config(
+            draft_params, draft_config)
+
     from whisper_mlx_tpu.inference.transcribe import transcribe
     from whisper_mlx_tpu.inference.writers import get_writer
 
@@ -154,6 +167,9 @@ def main(argv: list[str] | None = None) -> int:
             suppress_tokens=args.suppress_tokens,
             verbose=args.verbose,
             batch_windows=args.batch_windows,
+            draft_params=draft_params,
+            draft_config=draft_config,
+            spec_k=args.spec_k,
         )
         name = args.output_name or Path(audio_path).stem
         writer(result, name)

@@ -54,6 +54,8 @@ class DecodingResult:
     no_speech_prob: float
     temperature: float
     compression_ratio: float
+    # decoding/speculative.py: {"proposed", "accepted", "target_calls"}
+    spec_stats: dict | None = None
 
 
 def _self_phases() -> tuple[int, ...] | None:

@@ -88,6 +88,9 @@ def transcribe(
     batch_windows: bool = False,
     window_batch_size: int = 8,
     stage_timer: "Any | None" = None,  # runtime.profiling.StageTimer
+    draft_params: "Params | None" = None,
+    draft_config: "WhisperConfig | None" = None,
+    spec_k: int = 4,
     **decode_options: Any,
 ) -> dict[str, Any]:
     """→ ``{"text", "segments", "language"}`` (reference public contract,
@@ -186,12 +189,28 @@ def transcribe(
                 # beam/patience only apply at t==0 (reference ladder semantics)
                 opts = replace(opts, beam_size=None, patience=None,
                                best_of=opts.best_of or 5)
+            # best_of is a t>0 feature (decode() ignores it at t==0), so the
+            # draft path gates only on greedy + no beam
+            use_spec = (t == 0 and draft_params is not None
+                        and opts.beam_size is None)
             with stage_timer.stage("decode"):
-                result = decode(
-                    params, states, tokenizer, config, opts,
-                    states_precomputed=True,
-                    rng=jax.random.PRNGKey(int(t * 1000) + 17 * len(all_segments)),
-                )[0]
+                if use_spec:
+                    # draft-assisted greedy (decoding/speculative.py):
+                    # token-identical to plain greedy, fewer target passes
+                    from whisper_mlx_tpu.decoding.speculative import (
+                        spec_decode_task)
+
+                    result = spec_decode_task(
+                        params, draft_params, states, tokenizer, config,
+                        draft_config or config, opts, k=spec_k,
+                        states_precomputed=True,
+                    )[0]
+                else:
+                    result = decode(
+                        params, states, tokenizer, config, opts,
+                        states_precomputed=True,
+                        rng=jax.random.PRNGKey(int(t * 1000) + 17 * len(all_segments)),
+                    )[0]
             needs_fallback = False
             if (compression_ratio_threshold is not None
                     and result.compression_ratio > compression_ratio_threshold):

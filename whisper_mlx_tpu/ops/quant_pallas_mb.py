@@ -145,6 +145,13 @@ def transpose_quant(q: QuantTensor, tile_n: int | None = None,
     if codes is None:
         codes = (os.environ.get("WTPU_MBT_DQ", "planar") == "i8"
                  and q.bits == 4)
+    if codes:
+        # deep-K linears spill VMEM in the i8 kernel: its scale spread and
+        # dequantized tile are full-K ((K, tile_n) vs planar's (K/8, ·)) —
+        # measured: down_proj K=18944 at prefill M=128 wants 134M of 128M.
+        # The i8 win case is the VPU-bound gate_up (K=3584) anyway.
+        i8_max_k = int(os.environ.get("WTPU_MBT_I8_MAX_K", "8192"))
+        codes = q.shape[1] <= i8_max_k
     n = q.shape[0]
     if tile_n is None:
         env = os.environ.get("WTPU_MBT_TILE", "")
