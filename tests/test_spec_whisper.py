@@ -126,6 +126,20 @@ def test_transcribe_with_draft_matches_plain(spec_setup):
         s["text"] for s in ref["segments"]]
 
 
+def test_spec_quantized_kv_caches(spec_setup):
+    """The serving config decodes over int8/int4 KV caches — the spec loop
+    must match plain greedy under the SAME cache quantization."""
+    import dataclasses
+
+    params, config, _, tok, mel = spec_setup
+    qcfg = dataclasses.replace(config, kv_bits=8, self_kv_bits=8)
+    options = DecodingOptions(sample_len=24)
+    ref = decode(params, mel, tok, qcfg, options)
+    out = spec_decode_task(params, params, mel, tok, qcfg, qcfg,
+                           options, k=4)
+    assert [r.tokens for r in out] == [r.tokens for r in ref]
+
+
 def test_spec_short_sample_len_cut(spec_setup):
     """max_len lands inside an accepted block → committed tokens must be
     cut exactly where sequential greedy stops."""
