@@ -300,6 +300,9 @@ def main() -> None:
                     **({"kv_layout": kv_layout}
                        if kv_layout != "tminor" else {}),
                     **({"pipeline": pipeline_k} if pipeline_k > 1 else {}),
+                    **({"unroll": os.environ["WTPU_DECODE_UNROLL"]}
+                       if os.environ.get("WTPU_DECODE_UNROLL", "1") != "1"
+                       else {}),
                 }) + "\n")
         except OSError:
             pass

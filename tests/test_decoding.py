@@ -218,3 +218,43 @@ def test_two_phase_cache_growth_equivalence(tiny_model, self_kv_bits):
     assert np.array_equal(np.asarray(grown.lengths), np.asarray(flat.lengths))
     np.testing.assert_allclose(np.asarray(grown.sum_logprobs),
                                np.asarray(flat.sum_logprobs), rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("unroll", [2, 3])
+def test_unrolled_decode_equivalence(tiny_model, unroll):
+    """unroll=k chains k decode steps per while-loop iteration
+    (greedy.py run_loop). The pair condition + lax.cond-guarded trailing
+    steps must reproduce unroll=1 exactly — including non-divisible trip
+    counts (k=3 over a 200-step horizon) and the early-exit check moving
+    from every step to every k steps (a mid-pair all-done batch runs a
+    frozen step whose writes are no-ops)."""
+    import dataclasses
+
+    from whisper_mlx_tpu.decoding.filters import FilterConfig, make_suppress_mask
+    from whisper_mlx_tpu.decoding.greedy import greedy_decode
+    from whisper_mlx_tpu.decoding.task import _resolve_suppress, build_initial_tokens
+
+    params, config, tok, mel = tiny_model
+    config = dataclasses.replace(config, self_kv_bits=8)
+    audio_states = encode(params, mel, config)
+    opts = DecodingOptions(sample_len=200)
+    init_tokens, sot_index, sample_begin = build_initial_tokens(tok, opts, config.n_text_ctx)
+    always_np, begin_np = make_suppress_mask(
+        config.n_vocab, _resolve_suppress(opts, tok),
+        tuple(tok.encode(" ")) + (tok.eot,))
+    filter_cfg = FilterConfig(
+        eot=tok.eot, no_timestamps=tok.no_timestamps,
+        timestamp_begin=tok.timestamp_begin, sample_begin=sample_begin,
+        max_initial_timestamp_index=50, apply_timestamp_rules=True)
+    initial = jnp.tile(jnp.asarray(init_tokens, jnp.int32)[None, :], (2, 1))
+    common = dict(
+        config=config, filter_cfg=filter_cfg, sample_len=200,
+        sot_index=sot_index, no_speech_token=tok.no_speech)
+    args = (params, audio_states, initial, jnp.asarray(always_np),
+            jnp.asarray(begin_np), jnp.float32(0.0), jax.random.PRNGKey(0))
+    base = greedy_decode(*args, **common)
+    fast = greedy_decode(*args, unroll=unroll, **common)
+    assert np.array_equal(np.asarray(base.tokens), np.asarray(fast.tokens))
+    assert np.array_equal(np.asarray(base.lengths), np.asarray(fast.lengths))
+    np.testing.assert_allclose(np.asarray(base.sum_logprobs),
+                               np.asarray(fast.sum_logprobs), rtol=1e-5, atol=1e-5)

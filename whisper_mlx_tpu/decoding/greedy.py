@@ -39,7 +39,7 @@ class GreedyResult(NamedTuple):
 @partial(
     jax.jit,
     static_argnames=("config", "filter_cfg", "sample_len", "sot_index",
-                     "share_xkv_groups", "grow_cache", "phases"),
+                     "share_xkv_groups", "grow_cache", "phases", "unroll"),
 )
 def greedy_decode(
     params: Params,
@@ -57,6 +57,7 @@ def greedy_decode(
     share_xkv_groups: int = 1,
     grow_cache: bool = True,
     phases: tuple[int, ...] | None = None,
+    unroll: int = 1,
 ) -> GreedyResult:
     """``share_xkv_groups=g``: audio_states holds batch/g windows whose
     cross K/V are SHARED by g consecutive decode rows (best_of candidates
@@ -125,9 +126,6 @@ def greedy_decode(
     )
     max_len = min(n_init + sample_len, n_ctx)
 
-    def cond(s: State):
-        return (s.cur_len < max_len) & ~jnp.all(s.done)
-
     def body(s: State) -> State:
         logits = apply_filters(
             s.logits, s.tokens, s.cur_len, suppress_mask, blank_mask, filter_cfg
@@ -163,12 +161,39 @@ def greedy_decode(
             rng=key,
         )
 
+    def run_loop(s0: State, bound: int) -> State:
+        """Decode until ``cur_len == bound`` or every lane is done.
+
+        ``unroll=k`` (static, WTPU_DECODE_UNROLL) runs k chained steps per
+        while iteration — fewer loop-carried fusion boundaries, a k-step
+        scheduling window for XLA. Exactness: the pair condition stops
+        while ≥k steps remain; each of the ≤k−1 trailing steps re-checks
+        the ORIGINAL single-step condition under ``lax.cond``, so token /
+        logprob / early-exit semantics are bit-identical to unroll=1 (a
+        mid-pair all-done batch runs a harmless frozen step: every lane
+        emits EOT with sum_logprobs masked by ``done``)."""
+        def cond1(s: State):
+            return (s.cur_len < bound) & ~jnp.all(s.done)
+
+        if unroll <= 1:
+            return jax.lax.while_loop(cond1, body, s0)
+
+        def condk(s: State):
+            return (s.cur_len + (unroll - 1) < bound) & ~jnp.all(s.done)
+
+        def bodyk(s: State) -> State:
+            for _ in range(unroll):
+                s = body(s)
+            return s
+
+        out = jax.lax.while_loop(condk, bodyk, s0)
+        for _ in range(unroll - 1):
+            out = jax.lax.cond(cond1(out), body, lambda s: s, out)
+        return out
+
     t_axis = {"k8t": 3, "v8t": 3, "kT": 0, "ksT": 0, "vT": 0, "vsT": 0}
     for i, pb in enumerate(phase_bounds):
-        def cond_p(s: State, _pb=pb):
-            return (s.cur_len < min(_pb, max_len)) & ~jnp.all(s.done)
-
-        mid = jax.lax.while_loop(cond_p, body, state)
+        mid = run_loop(state, min(pb, max_len))
         nxt = phase_bounds[i + 1] if i + 1 < len(phase_bounds) else horizon
         big = init_kv_cache(config, batch, max_len=nxt)
         grown = []
@@ -179,7 +204,7 @@ def greedy_decode(
                 for key in small
             })
         state = mid._replace(cache=grown)
-    final = jax.lax.while_loop(cond, body, state)
+    final = run_loop(state, max_len)
 
     # effective length: position of first EOT after sample_begin (or cur_len)
     pos = jnp.arange(n_ctx)[None, :]

@@ -73,6 +73,17 @@ def _self_phases() -> tuple[int, ...] | None:
     return tuple(int(x) for x in raw.split(",") if x)
 
 
+def _decode_unroll() -> int:
+    """Greedy-loop unroll factor (WTPU_DECODE_UNROLL, default 1).
+
+    Read outside jit (static greedy_decode arg → jit cache key), same
+    rationale as _self_phases. k>1 chains k decode steps per while-loop
+    iteration; results are bit-identical (greedy.py run_loop)."""
+    import os
+
+    return int(os.environ.get("WTPU_DECODE_UNROLL", "1"))
+
+
 def compression_ratio(text: str) -> float:
     """zlib ratio used by the hallucination heuristics (ratio > 2.4 ⇒ retry)."""
     data = text.encode("utf-8")
@@ -259,6 +270,7 @@ def decode(
         no_speech_token=tokenizer.no_speech,
         share_xkv_groups=n_candidates,
         phases=_self_phases(),
+        unroll=_decode_unroll(),
     )
 
     def finalize() -> list[DecodingResult]:
