@@ -115,6 +115,10 @@ def main():
             "mbt": lambda x: quant_matmul_mbt(x, qt),
             "native": lambda x: native_group_matmul(x, nq),
         }
+        vfilter = os.environ.get("QB_VARIANTS", "")
+        if vfilter:
+            keep_v = set(vfilter.split(","))
+            variants = {k: v for k, v in variants.items() if k in keep_v}
         line = [f"{label:>8} K={K:<5} N={N:<6} {stream_mb:6.1f}MB"]
         for name, fn in variants.items():
             try:

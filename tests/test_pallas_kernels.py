@@ -175,6 +175,38 @@ def test_quant_matmul_mbt_i8_codes_resident(monkeypatch):
         assert not qt8.codes_resident
 
 
+@pytest.mark.parametrize("dq_mode", ["planar", "u8", "i8"])
+def test_quant_matmul_mbt_contig_layout(monkeypatch, dq_mode):
+    """Tile-contiguous resident layout (WTPU_MBT_CONTIG=1): words
+    pre-tiled to (n_tiles, Kp, tile_n) so each ring slab is ONE flat HBM
+    DMA. Must be bit-exact vs the (Kp, N) column-slice layout in every
+    dequant mode, including a non-tile-multiple N (pad at setup) and the
+    dequantize() round-trip used by the prefill fallback."""
+    from whisper_mlx_tpu.ops.quant_pallas_mb import (
+        quant_matmul_mbt, transpose_quant)
+
+    monkeypatch.setenv("WTPU_MBT_DQ", dq_mode)
+    rng = np.random.default_rng(6)
+    for (M, K, N) in [(1, 128, 384), (3, 256, 200)]:
+        w = rng.standard_normal((N, K)).astype(np.float32)
+        w_q, scales, biases = quantize(w, bits=4, group_size=64)
+        q = QuantTensor(jnp.asarray(w_q), jnp.asarray(scales),
+                        jnp.asarray(biases), 4, 64)
+        qt = transpose_quant(q, tile_n=128, depth=2, contig=False)
+        qtc = transpose_quant(q, tile_n=128, depth=2, contig=True)
+        assert qtc.contig and qtc.wqt.ndim == 3
+        assert qtc.shape == qt.shape == (N, K)
+        np.testing.assert_array_equal(np.asarray(qtc.dequantize()),
+                                      np.asarray(qt.dequantize()))
+
+        x = rng.standard_normal((M, K)).astype(np.float32)
+        base = np.asarray(
+            quant_matmul_mbt.__wrapped__(jnp.asarray(x), qt, None, None, True))
+        got = np.asarray(
+            quant_matmul_mbt.__wrapped__(jnp.asarray(x), qtc, None, None, True))
+        np.testing.assert_array_equal(got, base)
+
+
 def _sdpa_ref(q, k, v, causal=False):
     s = np.einsum("bhqd,bhkd->bhqk", q, k).astype(np.float32)
     if causal:

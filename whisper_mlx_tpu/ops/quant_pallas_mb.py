@@ -77,12 +77,23 @@ class QuantTensorT:
     exchange for dequant being ONE i8→bf16 cast + multiply instead of the
     planar 8-plane shift/mask/bitcast/cast chain — the measured VPU wall
     at LLM B=1 (docs/performance.md). scalest/biasest: (G, N).
-    bits/group_size/tile_n/depth are pytree aux data (static under jit),
-    so per-leaf tile tuning rides the params tree across jit boundaries.
+
+    ``contig=True`` (``WTPU_MBT_CONTIG=1``) additionally pre-tiles the
+    words to (n_tiles, Kp, tile_n) — N padded to a tile multiple ONCE at
+    setup — so each ring slab is ONE flat HBM block instead of Kp strided
+    row chunks (the (Kp, N) column slice strides N words between rows;
+    at gate_up's N=37888 that DMA pattern measured 195 GB/s vs 456 on
+    o_proj's N=3584 with identical per-byte dequant work). ``n_orig``
+    remembers the unpadded N. scales/biases are pre-padded to match.
+
+    bits/group_size/tile_n/depth/contig/n_orig are pytree aux data
+    (static under jit), so per-leaf tile tuning rides the params tree
+    across jit boundaries.
     """
 
     def __init__(self, wqt, scalest, biasest, bits: int, group_size: int,
-                 tile_n: int = 512, depth: int = 2):
+                 tile_n: int = 512, depth: int = 2, contig: bool = False,
+                 n_orig: int | None = None):
         self.wqt = wqt
         self.scalest = scalest
         self.biasest = biasest
@@ -90,6 +101,8 @@ class QuantTensorT:
         self.group_size = int(group_size)
         self.tile_n = int(tile_n)
         self.depth = int(depth)
+        self.contig = bool(contig)
+        self.n_orig = None if n_orig is None else int(n_orig)
 
     @property
     def codes_resident(self) -> bool:
@@ -97,26 +110,42 @@ class QuantTensorT:
 
     @property
     def shape(self):  # natural (out, in), matching QuantTensor
-        kp_rows, n = self.wqt.shape
+        if self.contig:
+            kp_rows = self.wqt.shape[1]
+            n = self.n_orig
+        else:
+            kp_rows, n = self.wqt.shape
         k = kp_rows if self.codes_resident else kp_rows * (32 // self.bits)
         return (n, k)
 
+    def _wqt_2d(self):
+        """→ (Kp, N) words with the tile padding stripped (any layout)."""
+        if not self.contig:
+            return self.wqt
+        t, kp, tile = self.wqt.shape
+        return self.wqt.transpose(1, 0, 2).reshape(kp, t * tile)[:, : self.n_orig]
+
     def dequantize(self, dtype=jnp.float32):
         """→ (out, in) floats — CPU/interpret + large-M (prefill) path."""
+        n = self.shape[0]
+        sct = self.scalest[:, :n]
+        bit = self.biasest[:, :n]
+        wqt = self._wqt_2d()
         if self.codes_resident:
-            g = self.scalest.shape[0]
-            k, n = self.wqt.shape
-            codes = self.wqt.T.astype(jnp.float32).reshape(n, g, k // g)
-            w = codes * self.scalest.T[..., None] + self.biasest.T[..., None]
+            g = sct.shape[0]
+            k = wqt.shape[0]
+            codes = wqt.T.astype(jnp.float32).reshape(n, g, k // g)
+            w = codes * sct.T[..., None] + bit.T[..., None]
             return w.reshape(n, k).astype(dtype)
         from whisper_mlx_tpu.ops.quant import dequantize
 
-        return dequantize(self.wqt.T, self.scalest.T, self.biasest.T,
+        return dequantize(wqt.T, sct.T, bit.T,
                           self.bits, self.group_size, dtype=dtype, xp=jnp)
 
     def tree_flatten(self):
         return ((self.wqt, self.scalest, self.biasest),
-                (self.bits, self.group_size, self.tile_n, self.depth))
+                (self.bits, self.group_size, self.tile_n, self.depth,
+                 self.contig, self.n_orig))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -124,12 +153,14 @@ class QuantTensorT:
 
     def __repr__(self):
         return (f"QuantTensorT{self.shape}[{self.bits}b/g{self.group_size}"
-                f" t{self.tile_n}d{self.depth}]")
+                f" t{self.tile_n}d{self.depth}"
+                f"{'c' if self.contig else ''}]")
 
 
 def transpose_quant(q: QuantTensor, tile_n: int | None = None,
                     depth: int | None = None,
-                    codes: bool | None = None) -> QuantTensorT:
+                    codes: bool | None = None,
+                    contig: bool | None = None) -> QuantTensorT:
     """One-time (eager) layout conversion for :func:`quant_matmul_mbt`.
 
     tile_n/depth default to the shape-keyed sweep winners
@@ -139,12 +170,18 @@ def transpose_quant(q: QuantTensor, tile_n: int | None = None,
 
     ``codes=True`` (or ``WTPU_MBT_DQ=i8``, 4-bit only) unpacks the words
     to one int8 code per byte — see :class:`QuantTensorT`.
+
+    ``contig=True`` (or ``WTPU_MBT_CONTIG=1``) pre-tiles the words to
+    (n_tiles, Kp, tile_n) so each ring slab DMA is one flat HBM block
+    (see :class:`QuantTensorT`).
     """
     import os
 
     if codes is None:
         codes = (os.environ.get("WTPU_MBT_DQ", "planar") == "i8"
                  and q.bits == 4)
+    if contig is None:
+        contig = os.environ.get("WTPU_MBT_CONTIG", "0") == "1"
     if codes:
         # deep-K linears spill VMEM in the i8 kernel: its scale spread and
         # dequantized tile are full-K ((K, tile_n) vs planar's (K/8, ·)) —
@@ -170,17 +207,35 @@ def transpose_quant(q: QuantTensor, tile_n: int | None = None,
         wqt = wk.T.astype(jnp.int8)  # 4-bit codes are 0..15: exact in i8
     else:
         wqt = q.w_q.T
-    return QuantTensorT(wqt, q.scales.T, q.biases.T, q.bits,
-                        q.group_size, tile_n=tile_n, depth=depth)
+    sct, bit = q.scales.T, q.biases.T
+    n_orig = None
+    if contig:
+        kp_rows = wqt.shape[0]
+        np_cols = _round_up(n, tile_n)
+        if np_cols != n:
+            wqt = jnp.zeros((kp_rows, np_cols), wqt.dtype).at[:, :n].set(wqt)
+            g = sct.shape[0]
+            sct = jnp.zeros((g, np_cols), sct.dtype).at[:, :n].set(sct)
+            bit = jnp.zeros((g, np_cols), bit.dtype).at[:, :n].set(bit)
+        n_tiles = np_cols // tile_n
+        wqt = wqt.reshape(kp_rows, n_tiles, tile_n).transpose(1, 0, 2)
+        n_orig = n
+    return QuantTensorT(wqt, sct, bit, q.bits,
+                        q.group_size, tile_n=tile_n, depth=depth,
+                        contig=contig, n_orig=n_orig)
 
 
 def _mbt_kernel(x_ref, xg_ref, sct_ref, bit_ref, wqt_hbm, out_ref,
                 wq_buf, sem,
                 *, bits: int, group_size: int, tile_n: int, depth: int,
-                n_tiles: int, out_dtype, dq_mode: str = "planar"):
+                n_tiles: int, out_dtype, dq_mode: str = "planar",
+                contig: bool = False):
     """Single-program kernel; loops N tiles with a DEPTH-deep DMA ring.
 
     wq_buf: (depth, Kp_words, TILE_N) VMEM ring; sem: (depth,) DMA sems.
+    ``contig``: wqt_hbm is pre-tiled (n_tiles, Kp, TILE_N) — slab t is
+    ONE flat HBM block (``.at[t]``) instead of a (Kp, N) column slice
+    whose DMA strides N words between 128-lane row chunks.
     """
     compute = jnp.bfloat16 if x_ref.dtype == jnp.bfloat16 else jnp.float32
     per_word = 32 // bits
@@ -189,15 +244,15 @@ def _mbt_kernel(x_ref, xg_ref, sct_ref, bit_ref, wqt_hbm, out_ref,
     g = sct_ref.shape[0]
     words_per_group = group_size // per_word
 
+    def _slab(t):
+        return (wqt_hbm.at[t] if contig
+                else wqt_hbm.at[:, pl.ds(t * tile_n, tile_n)])
+
     def start(t, slot):
-        pltpu.make_async_copy(
-            wqt_hbm.at[:, pl.ds(t * tile_n, tile_n)], wq_buf.at[slot],
-            sem.at[slot]).start()
+        pltpu.make_async_copy(_slab(t), wq_buf.at[slot], sem.at[slot]).start()
 
     def wait(t, slot):
-        pltpu.make_async_copy(
-            wqt_hbm.at[:, pl.ds(t * tile_n, tile_n)], wq_buf.at[slot],
-            sem.at[slot]).wait()
+        pltpu.make_async_copy(_slab(t), wq_buf.at[slot], sem.at[slot]).wait()
 
     # warm the ring (static unroll; depth <= n_tiles enforced by caller)
     for d in range(depth):
@@ -327,14 +382,21 @@ def quant_matmul_mbt(x: jnp.ndarray, qt: QuantTensorT,
     *lead, K = x.shape
     x2 = x.reshape(-1, K)
     M = x2.shape[0]
-    kp_words, N = qt.wqt.shape
+    if qt.contig:
+        # pre-tiled layout: tile geometry is fixed at transpose time
+        tile_n = qt.tile_n
+        n_tiles, kp_words, _ = qt.wqt.shape
+        N = qt.n_orig
+        Np = n_tiles * tile_n
+    else:
+        kp_words, N = qt.wqt.shape
+        Np = _round_up(N, tile_n)
+        n_tiles = Np // tile_n
     bits, group_size = qt.bits, qt.group_size
     per_word = 32 // bits
     G = K // group_size
     assert kp_words == (K if dq_mode == "i8" else K // per_word)
 
-    Np = _round_up(N, tile_n)
-    n_tiles = Np // tile_n
     depth = min(depth, n_tiles)
     Mp = _round_up(max(M, 8), 8)
 
@@ -347,8 +409,9 @@ def quant_matmul_mbt(x: jnp.ndarray, qt: QuantTensorT,
     x_pad = jnp.zeros((Mp, K), x2.dtype).at[:M].set(x_planar)
     xg_pad = jnp.zeros((Mp, G), jnp.float32).at[:M].set(xg)
     wqt, sct, bit = qt.wqt, qt.scalest, qt.biasest
-    if Np != N:
+    if Np != N and not qt.contig:
         wqt = jnp.zeros((kp_words, Np), wqt.dtype).at[:, :N].set(wqt)
+    if sct.shape[1] != Np:
         sct = jnp.zeros((G, Np), sct.dtype).at[:, :N].set(sct)
         bit = jnp.zeros((G, Np), bit.dtype).at[:, :N].set(bit)
 
@@ -356,7 +419,7 @@ def quant_matmul_mbt(x: jnp.ndarray, qt: QuantTensorT,
         functools.partial(
             _mbt_kernel, bits=bits, group_size=group_size, tile_n=tile_n,
             depth=depth, n_tiles=n_tiles, out_dtype=x.dtype,
-            dq_mode=dq_mode,
+            dq_mode=dq_mode, contig=qt.contig,
         ),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),  # x
