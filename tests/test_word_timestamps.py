@@ -114,6 +114,35 @@ def test_default_alignment_heads():
     assert len(heads) == 2 * 6
 
 
+def test_checkpoint_alignment_heads_roundtrip(tmp_path):
+    """Real mlx checkpoints ship the model-specific DTW head mask in
+    config.json ("alignment_heads"); the loader must carry it into
+    WhisperConfig (where find_alignment prefers it over the upper-half
+    fallback) and export must round-trip it."""
+    import dataclasses
+
+    from whisper_mlx_tpu.checkpoint.quant_loader import (
+        export_mlx_whisper, load_mlx_whisper)
+    from whisper_mlx_tpu.models.whisper import init_params
+
+    heads = ((0, 1), (1, 3), (1, 5))
+    config = WhisperConfig(
+        n_mels=80, n_vocab=1000,
+        n_audio_state=64, n_audio_head=4, n_audio_layer=2,
+        n_text_state=64, n_text_head=4, n_text_layer=2,
+        alignment_heads=heads,
+    )
+    export_mlx_whisper(init_params(config, seed=0), config, tmp_path / "m")
+    _, c2 = load_mlx_whisper(tmp_path / "m")
+    assert c2.alignment_heads == heads
+    # and a config WITHOUT the mask loads as None (fallback applies)
+    export_mlx_whisper(init_params(config, seed=0),
+                       dataclasses.replace(config, alignment_heads=None),
+                       tmp_path / "m0")
+    _, c0 = load_mlx_whisper(tmp_path / "m0")
+    assert c0.alignment_heads is None
+
+
 def test_add_word_timestamps_distribution(monkeypatch):
     """Distribution of aligned words back onto segments, isolated from the
     model: find_alignment is stubbed with a known alignment."""

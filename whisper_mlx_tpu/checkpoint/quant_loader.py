@@ -30,12 +30,18 @@ from whisper_mlx_tpu.ops.quant import QuantTensor
 
 
 def config_from_mlx(cfg: Mapping[str, Any]) -> WhisperConfig:
+    heads = cfg.get("alignment_heads")
     return WhisperConfig(
         n_mels=cfg["n_mels"], n_vocab=cfg["n_vocab"],
         n_audio_ctx=cfg["n_audio_ctx"], n_audio_state=cfg["n_audio_state"],
         n_audio_head=cfg["n_audio_head"], n_audio_layer=cfg["n_audio_layer"],
         n_text_ctx=cfg["n_text_ctx"], n_text_state=cfg["n_text_state"],
         n_text_head=cfg["n_text_head"], n_text_layer=cfg["n_text_layer"],
+        # model-specific DTW heads (openai's per-model dump, carried through
+        # the mlx conversion as [[layer, head], ...]) — tuple-ized so the
+        # frozen config stays hashable as a static jit arg
+        alignment_heads=(tuple((int(l), int(h)) for l, h in heads)
+                         if heads else None),
     )
 
 
@@ -260,4 +266,6 @@ def export_mlx_whisper(
     }
     if quantization:
         cfg["quantization"] = quantization
+    if config.alignment_heads:
+        cfg["alignment_heads"] = [list(p) for p in config.alignment_heads]
     (out_dir / "config.json").write_text(json.dumps(cfg))

@@ -130,7 +130,11 @@ def find_alignment(
 ) -> list[WordTiming]:
     if not text_tokens:
         return []
-    heads = alignment_heads or default_alignment_heads(config)
+    # precedence: explicit arg > checkpoint's model-specific mask
+    # (config.alignment_heads, loaded from config.json) > upper-half fallback
+    heads = (alignment_heads or
+             (list(config.alignment_heads) if config.alignment_heads else None)
+             or default_alignment_heads(config))
     sot_seq = list(tokenizer.sot_sequence)
     tokens = sot_seq + [tokenizer.no_timestamps] + list(text_tokens) + [tokenizer.eot]
     n_real = len(tokens)

@@ -82,6 +82,13 @@ class WhisperConfig:
     # static decision threaded to cache layout AND kernel selection; default
     # comes from WTPU_DECODE_ATTN_KERNEL read once at import
     decode_attn_kernel: bool = _DECODE_ATTN_KERNEL_DEFAULT
+    # word-timestamp DTW cross-attention heads ((layer, head) pairs) — real
+    # checkpoints ship the model-specific mask in config.json
+    # ("alignment_heads", the openai per-model dump carried through the mlx
+    # conversion); None → upper-half-layers fallback
+    # (inference/word_timestamps.py default_alignment_heads). Host-side
+    # only; tuple-of-tuples so the frozen config stays hashable for jit.
+    alignment_heads: tuple[tuple[int, int], ...] | None = None
 
     @property
     def head_dim(self) -> int:
