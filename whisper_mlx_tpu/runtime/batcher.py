@@ -40,7 +40,7 @@ from whisper_mlx_tpu.models.whisper import encode
 class _WindowJob:
     request_id: int
     window_idx: int
-    mel: np.ndarray  # (3000, n_mels)
+    mel: jax.Array  # (3000, n_mels), device-resident (never fetched to host)
     time_offset: float
 
 
@@ -115,16 +115,26 @@ class TranscriptionBatcher:
             del self._requests[req_id]
 
     async def _enqueue(self, audio: np.ndarray) -> tuple[int, "_Request"]:
+        # mel stays DEVICE-RESIDENT: through the axon relay a host fetch of
+        # the full mel (~6 MB/120 s request) plus _launch's re-upload of the
+        # stacked batch (~86 MB at B=56) dominated the serving wall at
+        # saturation (host-bound 123 RTF vs 320 raw, docs/performance.md).
+        # JAX shapes are static, so the window count needs no fetch; windows
+        # are device slices and _launch stacks them on device.
         self._ensure_worker()
         audio = np.asarray(audio, np.float32)
-        mel_all = np.asarray(
-            log_mel_spectrogram(
-                jnp.asarray(np.concatenate([audio, np.zeros(N_SAMPLES, np.float32)])),
-                n_mels=self.config.n_mels,
-            )
+        mel_all = log_mel_spectrogram(
+            jnp.asarray(np.concatenate([audio, np.zeros(N_SAMPLES, np.float32)])),
+            n_mels=self.config.n_mels,
         )
         content_frames = max(mel_all.shape[0] - N_FRAMES, 1)
         n_windows = max(1, -(-content_frames // N_FRAMES))
+        # the N_SAMPLES zero tail guarantees n_windows * N_FRAMES frames
+        # exist, so every window slice is full-length (mel-of-silence in the
+        # overhang, same values the host path produced)
+        windows = mel_all[: n_windows * N_FRAMES].reshape(
+            n_windows, N_FRAMES, mel_all.shape[1]
+        )
 
         req_id = self._next_id
         self._next_id += 1
@@ -134,13 +144,8 @@ class TranscriptionBatcher:
         self._requests[req_id] = request
 
         for w in range(n_windows):
-            seg = mel_all[w * N_FRAMES : w * N_FRAMES + N_FRAMES]
-            if seg.shape[0] < N_FRAMES:
-                seg = np.concatenate(
-                    [seg, np.zeros((N_FRAMES - seg.shape[0], seg.shape[1]), np.float32)]
-                )
             await self._queue.put(_WindowJob(
-                request_id=req_id, window_idx=w, mel=seg,
+                request_id=req_id, window_idx=w, mel=windows[w],
                 time_offset=w * N_FRAMES * HOP_LENGTH / SAMPLE_RATE,
             ))
         return req_id, request
@@ -215,11 +220,11 @@ class TranscriptionBatcher:
         decode finalize callable without waiting for device execution."""
         real = len(jobs)
         bucket = next(b for b in self.buckets if b >= real)
-        mel = np.stack([j.mel for j in jobs])
+        mel = jnp.stack([j.mel for j in jobs])  # device op — no host copy
         if real < bucket:  # pad to the bucket's compile shape
-            mel = np.concatenate([
+            mel = jnp.concatenate([
                 mel,
-                np.zeros((bucket - real, *mel.shape[1:]), np.float32),
+                jnp.zeros((bucket - real, *mel.shape[1:]), mel.dtype),
             ])
         # packed 4/8-bit checkpoints: the ENCODER always runs at
         # windows×1500 matmul rows, where dense jit-argument weights beat
