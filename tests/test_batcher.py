@@ -188,3 +188,63 @@ def test_batcher_quantized_params(tiny):
     )
     assert [s["tokens"] for s in got["segments"]] == \
         [s["tokens"] for s in want["segments"]]
+
+
+def test_int16_audio_bit_identical(tiny):
+    """The raw-PCM16 serving upload (audio as <i2, converted on device,
+    audio/decode.load_audio_pcm16) must produce byte-identical results to
+    the f32 path — int16 values and /2^15 are both exact in f32."""
+    params, config, tok = tiny
+    pcm = (np.clip(make_speechy_audio(seconds=40.0), -1, 1) * 32767).astype(np.int16)
+    f32 = pcm.astype(np.float32) / 32768.0
+
+    async def run(audio):
+        batcher = TranscriptionBatcher(
+            params, config, tok, batch_size=4, max_wait_ms=20,
+            decoding=DecodingOptions(sample_len=8),
+        )
+        r = await batcher.transcribe(audio)
+        batcher.shutdown()
+        return r
+
+    r_i16 = asyncio.run(run(pcm))
+    r_f32 = asyncio.run(run(f32))
+    assert [s["tokens"] for s in r_i16["segments"]] == [
+        s["tokens"] for s in r_f32["segments"]
+    ]
+    assert r_i16["text"] == r_f32["text"]
+
+
+def test_load_audio_pcm16_gating(tmp_path):
+    """pcm16 fast path: int16 passthrough only for 16 kHz/16-bit/mono WAVs;
+    everything else falls back (None)."""
+    import struct as _struct
+
+    from whisper_mlx_tpu.audio.decode import load_audio, load_audio_pcm16
+
+    def wav(path, rate=16_000, channels=1, bits=16, fmt=1, n=1600):
+        rng = np.random.default_rng(0)
+        if bits == 16:
+            body = (np.clip(rng.standard_normal(n * channels) * 0.1, -1, 1)
+                    * 32767).astype("<i2").tobytes()
+        else:  # f32 WAV
+            body = rng.standard_normal(n * channels).astype("<f4").tobytes()
+        block = channels * bits // 8
+        hdr = b"RIFF" + _struct.pack("<I", 36 + len(body)) + b"WAVE"
+        hdr += b"fmt " + _struct.pack("<IHHIIHH", 16, fmt, channels, rate,
+                                      rate * block, block, bits)
+        hdr += b"data" + _struct.pack("<I", len(body))
+        path.write_bytes(hdr + body)
+        return path
+
+    good = wav(tmp_path / "good.wav")
+    raw = load_audio_pcm16(good)
+    assert raw is not None and raw.dtype == np.int16
+    np.testing.assert_array_equal(raw.astype(np.float32) / 32768.0, load_audio(good))
+
+    assert load_audio_pcm16(wav(tmp_path / "sr.wav", rate=8_000)) is None
+    assert load_audio_pcm16(wav(tmp_path / "st.wav", channels=2)) is None
+    assert load_audio_pcm16(wav(tmp_path / "f32.wav", bits=32, fmt=3)) is None
+    assert load_audio_pcm16(tmp_path / "missing.wav") is None
+    (tmp_path / "junk.wav").write_bytes(b"not a wav")
+    assert load_audio_pcm16(tmp_path / "junk.wav") is None

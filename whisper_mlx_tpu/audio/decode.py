@@ -22,13 +22,9 @@ import numpy as np
 SAMPLE_RATE = 16_000
 
 
-def _read_wav(path: str | Path) -> tuple[np.ndarray, int]:
-    """Minimal RIFF/WAVE parser: PCM 8/16/24/32-bit int and 32/64-bit float.
-
-    Implemented directly (not via the ``wave`` stdlib module) so that float
-    WAVs and >2-channel files decode, and so the native C++ decoder and this
-    fallback share one behavior spec.
-    """
+def _parse_wav_chunks(path: str | Path) -> tuple[tuple, bytes]:
+    """RIFF walk shared by the f32 decoder and the raw-PCM16 fast path:
+    returns the unpacked ``fmt `` tuple and the ``data`` chunk bytes."""
     raw = Path(path).read_bytes()
     if raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
         raise ValueError(f"{path}: not a RIFF/WAVE file")
@@ -49,6 +45,17 @@ def _read_wav(path: str | Path) -> tuple[np.ndarray, int]:
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError(f"{path}: missing fmt/data chunk")
+    return fmt, data
+
+
+def _read_wav(path: str | Path) -> tuple[np.ndarray, int]:
+    """Minimal RIFF/WAVE parser: PCM 8/16/24/32-bit int and 32/64-bit float.
+
+    Implemented directly (not via the ``wave`` stdlib module) so that float
+    WAVs and >2-channel files decode, and so the native C++ decoder and this
+    fallback share one behavior spec.
+    """
+    fmt, data = _parse_wav_chunks(path)
     audio_format, channels, rate, _byte_rate, _block_align, bits = fmt
     if audio_format == 1:  # PCM int
         if bits == 8:
@@ -74,6 +81,31 @@ def _read_wav(path: str | Path) -> tuple[np.ndarray, int]:
     if channels > 1:
         x = x[: (len(x) // channels) * channels].reshape(-1, channels).mean(axis=1)
     return np.ascontiguousarray(x, dtype=np.float32), rate
+
+
+def load_audio_pcm16(path: str | Path, sample_rate: int = SAMPLE_RATE) -> np.ndarray | None:
+    """Raw-PCM16 fast path for the serving upload: returns the mono ``<i2``
+    samples when ``path`` is already a 16-bit mono PCM WAV at ``sample_rate``
+    — i.e. when no host conversion is needed at all — else ``None`` (callers
+    fall back to :func:`load_audio`).
+
+    The batcher uploads this at HALF the f32 bytes and converts on device
+    (``x.astype(f32) / 32768`` — int16 values and a /2^15 are both exact in
+    f32, so the result is bit-identical to the host conversion). Through the
+    axon relay the audio upload is the dominant remaining per-request host
+    cost at serving saturation (docs/performance.md).
+    """
+    path = Path(path)
+    if path.suffix.lower() not in (".wav", ".wave"):
+        return None
+    try:
+        fmt, data = _parse_wav_chunks(path)
+    except (ValueError, OSError):
+        return None  # let load_audio raise the canonical error
+    audio_format, channels, rate, _byte_rate, _block_align, bits = fmt
+    if (audio_format, channels, bits) != (1, 1, 16) or rate != sample_rate:
+        return None
+    return np.frombuffer(data[: len(data) // 2 * 2], dtype="<i2").copy()
 
 
 def resample(audio: np.ndarray, src_rate: int, dst_rate: int = SAMPLE_RATE) -> np.ndarray:

@@ -122,11 +122,18 @@ class TranscriptionBatcher:
         # JAX shapes are static, so the window count needs no fetch; windows
         # are device slices and _launch stacks them on device.
         self._ensure_worker()
-        audio = np.asarray(audio, np.float32)
+        audio = np.asarray(audio)
+        if audio.dtype == np.int16:
+            # raw-PCM16 upload (audio.decode.load_audio_pcm16): half the f32
+            # bytes over the relay; the /2^15 conversion on device is
+            # bit-identical to the host one (both exact in f32)
+            dev = jnp.asarray(audio).astype(jnp.float32) / 32768.0
+        else:
+            dev = jnp.asarray(np.asarray(audio, np.float32))
         # pad the 30 s zero tail on device — uploading it costs ~1.9 MB of
         # relay traffic per request for bytes the device can materialize
         mel_all = log_mel_spectrogram(
-            jnp.pad(jnp.asarray(audio), (0, N_SAMPLES)),
+            jnp.pad(dev, (0, N_SAMPLES)),
             n_mels=self.config.n_mels,
         )
         content_frames = max(mel_all.shape[0] - N_FRAMES, 1)

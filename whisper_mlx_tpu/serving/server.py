@@ -499,8 +499,14 @@ async def transcribe_endpoint(request: web.Request) -> web.Response:
 
     import numpy as np
 
-    from whisper_mlx_tpu.audio.decode import load_audio
+    from whisper_mlx_tpu.audio.decode import load_audio, load_audio_pcm16
     from whisper_mlx_tpu.inference.transcribe import transcribe
+
+    def _load(path: str) -> np.ndarray:
+        # raw-PCM16 fast path: half the device-upload bytes when the file is
+        # already 16 kHz/16-bit mono (the batcher converts on device)
+        audio = load_audio_pcm16(path)
+        return audio if audio is not None else load_audio(path)
 
     options: dict[str, Any] = {}
     audio = None
@@ -520,7 +526,7 @@ async def transcribe_endpoint(request: web.Request) -> web.Response:
                     f.write(await part.read())
                     tmp_path = f.name
                 try:
-                    audio = load_audio(tmp_path)
+                    audio = _load(tmp_path)
                 finally:
                     os.unlink(tmp_path)
             elif part.name == "options":
@@ -528,7 +534,7 @@ async def transcribe_endpoint(request: web.Request) -> web.Response:
     else:
         body = await request.json()
         if "path" in body:
-            audio = load_audio(body["path"])
+            audio = _load(body["path"])
         options = body.get("options", {})
     if audio is None:
         return _error("no audio provided (multipart 'file' or JSON 'path')", 422)
@@ -541,6 +547,8 @@ async def transcribe_endpoint(request: web.Request) -> web.Response:
         # reference's single-writer lock
         result = await batcher.transcribe(np.asarray(audio))
     else:
+        if audio.dtype == np.int16:  # pcm16 fast path taken, options present
+            audio = audio.astype(np.float32) / 32768.0
         result = await asyncio.to_thread(
             transcribe, np.asarray(audio),
             params=params, config=config, tokenizer=tokenizer, verbose=False,
@@ -560,7 +568,7 @@ async def transcribe_stream_endpoint(request: web.Request) -> web.StreamResponse
 
     import numpy as np
 
-    from whisper_mlx_tpu.audio.decode import load_audio
+    from whisper_mlx_tpu.audio.decode import load_audio, load_audio_pcm16
 
     try:
         body = await request.json()
@@ -568,7 +576,9 @@ async def transcribe_stream_endpoint(request: web.Request) -> web.StreamResponse
         return _error("invalid JSON body", 400)
     if "path" not in body:
         return _error("'path' is required", 422)
-    audio = load_audio(body["path"])
+    audio = load_audio_pcm16(body["path"])
+    if audio is None:
+        audio = load_audio(body["path"])
 
     resp = web.StreamResponse(headers={
         "Content-Type": "text/event-stream",
