@@ -103,9 +103,12 @@ async def run() -> None:
 
     app = create_app()
     app["asr"] = (params, config, tok)
+    from whisper_mlx_tpu.runtime.serving_config import serving_mesh
+
     app["batcher"] = TranscriptionBatcher(
         params, config, tok, batch_size=BATCH, max_wait_ms=WAIT_MS,
         decoding=DecodingOptions(sample_len=SAMPLE_LEN, language="en"),
+        mesh=serving_mesh(),  # WTPU_SERVE_DP>1 → multi-chip DP
     )
     runner = web.AppRunner(app)
     await runner.setup()

@@ -6,6 +6,7 @@ import numpy as np
 import pytest
 
 import torch  # noqa: F401
+import jax
 import jax.numpy as jnp
 
 from tests.conftest import make_speechy_audio
@@ -213,6 +214,82 @@ def test_int16_audio_bit_identical(tiny):
         s["tokens"] for s in r_f32["segments"]
     ]
     assert r_i16["text"] == r_f32["text"]
+
+
+def test_batcher_mesh_token_identical(tiny):
+    """Multi-chip DP serving (VERDICT r3 item 1): the batcher with a dp=4
+    mesh must produce EXACTLY the single-device tokens — GSPMD shards the
+    window batch over chips without changing the math. This is the
+    production path that replaces the reference's single-writer lock
+    (reference daemon/server.py:280)."""
+    from whisper_mlx_tpu.parallel.mesh import make_mesh
+
+    params, config, tok = tiny
+    audio = make_speechy_audio(seconds=95.0)  # 4 windows — one dp=4 batch
+
+    async def run(mesh):
+        batcher = TranscriptionBatcher(
+            params, config, tok, batch_size=4, max_wait_ms=20,
+            decoding=DecodingOptions(sample_len=8), mesh=mesh,
+        )
+        r = await batcher.transcribe(audio)
+        batcher.shutdown()
+        return r, batcher
+
+    r_single, _ = asyncio.run(run(None))
+    r_mesh, b_mesh = asyncio.run(run(make_mesh(dp=4, tp=1, devices=jax.devices()[:4])))
+    assert b_mesh.buckets == (4,)
+    assert [s["tokens"] for s in r_mesh["segments"]] == \
+        [s["tokens"] for s in r_single["segments"]]
+    assert r_mesh["text"] == r_single["text"]
+
+
+def test_batcher_mesh_buckets_dp_divisible(tiny):
+    """Buckets round up to dp multiples so every compiled shape shards
+    evenly over the mesh (a 1-window request still rides a dp-wide batch)."""
+    from whisper_mlx_tpu.parallel.mesh import make_mesh
+
+    params, config, tok = tiny
+    mesh = make_mesh(dp=4, tp=1, devices=jax.devices()[:4])
+    batcher = TranscriptionBatcher(
+        params, config, tok, batch_size=[2, 6], max_wait_ms=10,
+        decoding=DecodingOptions(sample_len=8), mesh=mesh,
+    )
+    assert batcher.buckets == (4, 8)
+
+    async def run():
+        r = await batcher.transcribe(make_speechy_audio(seconds=20.0))  # 1 win
+        batcher.shutdown()
+        return r
+
+    r = asyncio.run(run())
+    assert r["segments"]
+
+
+def test_batcher_mesh_quantized_replicates(tiny):
+    """Packed 4-bit trees serve over the mesh too: shard_params replicates
+    QuantTensor trees (parallel/sharding.py) and output stays identical to
+    the single-device quantized batcher."""
+    from whisper_mlx_tpu.ops.quant import quantize_params
+    from whisper_mlx_tpu.parallel.mesh import make_mesh
+
+    params, config, tok = tiny
+    qparams = quantize_params(params, bits=4, group_size=32)
+    audio = make_speechy_audio(seconds=40.0)  # 2 windows
+
+    async def run(mesh):
+        batcher = TranscriptionBatcher(
+            qparams, config, tok, batch_size=2, max_wait_ms=10,
+            decoding=DecodingOptions(sample_len=8), mesh=mesh,
+        )
+        r = await batcher.transcribe(audio)
+        batcher.shutdown()
+        return r
+
+    r_single = asyncio.run(run(None))
+    r_mesh = asyncio.run(run(make_mesh(dp=2, tp=1, devices=jax.devices()[:2])))
+    assert [s["tokens"] for s in r_mesh["segments"]] == \
+        [s["tokens"] for s in r_single["segments"]]
 
 
 def test_load_audio_pcm16_gating(tmp_path):

@@ -11,6 +11,7 @@ import numpy as np
 import pytest
 
 import torch  # noqa: F401  — import order (see conftest)
+import jax
 import jax.numpy as jnp
 
 from tests.conftest import make_speechy_audio
@@ -65,6 +66,43 @@ def test_transcribe_batched_mode(tiny):
     result = transcribe(
         audio, params=params, config=config, tokenizer=tok,
         temperature=0.0, batch_windows=True, window_batch_size=2, verbose=False,
+    )
+    assert set(result) >= {"text", "segments", "language"}
+    starts = [seg["start"] for seg in result["segments"]]
+    assert starts == sorted(starts)
+
+
+def test_transcribe_mesh_token_identical(tiny):
+    """transcribe(batch_windows=True, mesh=...) must emit EXACTLY the
+    single-device segments (VERDICT r3 item 1: multi-chip DP as a
+    production path, not test-only machinery). dp=4 over the virtual CPU
+    mesh; GSPMD shards the window batch, math unchanged."""
+    from whisper_mlx_tpu.parallel.mesh import make_mesh
+
+    params, config, tok = tiny
+    audio = make_speechy_audio(seconds=95.0)  # 4 windows
+    kw = dict(
+        params=params, config=config, tokenizer=tok, temperature=0.0,
+        batch_windows=True, window_batch_size=4, verbose=False,
+    )
+    base = transcribe(audio, **kw)
+    meshed = transcribe(audio, mesh=make_mesh(dp=4, tp=1, devices=jax.devices()[:4]), **kw)
+    assert [s["tokens"] for s in meshed["segments"]] == \
+        [s["tokens"] for s in base["segments"]]
+    assert meshed["text"] == base["text"]
+
+
+def test_transcribe_mesh_rounds_batch_to_dp(tiny):
+    """A window_batch_size that doesn't divide over "dp" is rounded up so
+    every chunk shards evenly (window_batch_size=3, dp=2 → 4)."""
+    from whisper_mlx_tpu.parallel.mesh import make_mesh
+
+    params, config, tok = tiny
+    audio = make_speechy_audio(seconds=70.0)  # 3 windows
+    result = transcribe(
+        audio, params=params, config=config, tokenizer=tok,
+        temperature=0.0, batch_windows=True, window_batch_size=3,
+        mesh=make_mesh(dp=2, tp=1, devices=jax.devices()[:2]), verbose=False,
     )
     assert set(result) >= {"text", "segments", "language"}
     starts = [seg["start"] for seg in result["segments"]]

@@ -13,10 +13,12 @@ Two execution modes:
   data-dependent, so windows run one at a time. Parity mode for golden-text
   tests.
 - **batched** (``batch_windows=True``): fixed-stride windows, encoder+decoder
-  run over the whole batch in one jitted call (and DP-sharded across the
-  mesh — parallel/sharding.py). This is the >400× RTF serving path; text can
+  run over the whole batch in one jitted call; pass ``mesh=`` to DP-shard
+  the window batch across chips (parallel/sharding.py — GSPMD, token-
+  identical to single-device). This is the >400× RTF serving path; text can
   differ slightly from sequential mode at window boundaries
-  (condition_on_previous_text must be False, as in the reference's ``run:5``).
+  (condition_on_previous_text must be False, as in the reference's ``run:5``;
+  measured agreement stats: docs/wer_protocol.md).
 """
 
 from __future__ import annotations
@@ -87,6 +89,7 @@ def transcribe(
     verbose: bool | None = None,
     batch_windows: bool = False,
     window_batch_size: int = 8,
+    mesh: "Any | None" = None,  # jax.sharding.Mesh — DP-shard the batch
     stage_timer: "Any | None" = None,  # runtime.profiling.StageTimer
     draft_params: "Params | None" = None,
     draft_config: "WhisperConfig | None" = None,
@@ -159,7 +162,7 @@ def transcribe(
             mel_all, content_frames, params, config, tokenizer,
             temperatures, compression_ratio_threshold, logprob_threshold,
             no_speech_threshold, initial_prompt, window_batch_size,
-            word_timestamps, decode_options,
+            word_timestamps, decode_options, mesh=mesh,
         )
 
     input_stride = N_FRAMES // config.n_audio_ctx  # 2 mel frames per token
@@ -519,10 +522,24 @@ def _transcribe_batched(
     window_batch_size: int,
     word_timestamps: bool,
     decode_options: dict,
+    mesh: "Any | None" = None,
 ) -> dict[str, Any]:
     """Fixed-stride windows, batched decode. The mesh-sharded serving path:
     every window is independent (condition_on_previous_text=False semantics,
-    matching the reference launcher's flag — reference ``run:5``)."""
+    matching the reference launcher's flag — reference ``run:5``).
+
+    With ``mesh``, params are committed over the mesh (TP-split fp trees,
+    replicated quantized ones) and every window chunk is sharded over "dp"
+    — GSPMD compiles the same encode/decode jits SPMD, token-identical to
+    single-device (tests/test_transcribe.py::test_transcribe_mesh_token_identical).
+    Replaces the reference's single-writer lock (``daemon/server.py:280``)."""
+    if mesh is not None:
+        from whisper_mlx_tpu.parallel.sharding import shard_params
+
+        dp = int(mesh.shape.get("dp", 1))
+        # the chunk batch must divide evenly over "dp" — round up
+        window_batch_size = -(-window_batch_size // dp) * dp
+        params = shard_params(params, mesh)
     n_windows = max(1, int(np.ceil(content_frames / N_FRAMES)))
     windows = []
     for w in range(n_windows):
@@ -569,7 +586,12 @@ def _transcribe_batched(
             chunk = np.concatenate(
                 [chunk, np.zeros((window_batch_size - real, *chunk.shape[1:]), np.float32)]
             )
-        states = encode(params, jnp.asarray(chunk), config)
+        chunk_dev = jnp.asarray(chunk)
+        if mesh is not None:
+            from whisper_mlx_tpu.parallel.sharding import shard_batch
+
+            chunk_dev = shard_batch(chunk_dev, mesh)
+        states = encode(params, chunk_dev, config)
         opts0 = _rung_opts(temperatures[0])
         rng0 = jax.random.PRNGKey(int(temperatures[0] * 1000))
         if opts0.beam_size is not None:  # defer is greedy-only
@@ -602,9 +624,16 @@ def _transcribe_batched(
                 # cost by the ladder depth). Pad the gather to the next
                 # power of two so executable count stays O(log batch).
                 bucket = 1 << (len(pending) - 1).bit_length()
+                if mesh is not None:  # keep retry shapes dp-divisible
+                    dp = int(mesh.shape.get("dp", 1))
+                    bucket = -(-bucket // dp) * dp
                 bucket = min(bucket, window_batch_size)
                 sel = (pending + [pending[-1]] * (bucket - len(pending)))[:bucket]
                 sub_states = states[jnp.asarray(sel)]
+                if mesh is not None:
+                    from whisper_mlx_tpu.parallel.sharding import shard_batch
+
+                    sub_states = shard_batch(sub_states, mesh)
                 idx_map = pending
                 batch_results = decode(
                     params, sub_states, tokenizer, config, _rung_opts(t),

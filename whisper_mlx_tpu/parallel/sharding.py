@@ -81,9 +81,39 @@ def whisper_param_specs(params: Params, tp: str | None = "tp") -> Params:
     }
 
 
+def _has_quant_leaves(params) -> bool:
+    from whisper_mlx_tpu.ops.quant import QuantTensor
+
+    return any(
+        isinstance(leaf, QuantTensor)
+        for leaf in jax.tree_util.tree_leaves(
+            params, is_leaf=lambda x: isinstance(x, QuantTensor)
+        )
+    )
+
+
+def replicate_params(params, mesh: Mesh):
+    """Commit every array leaf replicated over the mesh (P() sharding).
+
+    The whisper DP serving layout: large-v3 fits one chip, so params are
+    replicated and only the window batch is sharded (SURVEY.md §2.4).
+    Works for any pytree, including QuantTensor nodes (their packed-code /
+    scale children are plain arrays)."""
+    return jax.tree.map(
+        lambda a: jax.device_put(a, NamedSharding(mesh, P())), params
+    )
+
+
 def shard_params(params: Params, mesh: Mesh, tp: str | None = "tp") -> Params:
     """Commit params to the mesh with TP NamedShardings (device_put once;
-    all downstream jits see committed shardings and compile SPMD)."""
+    all downstream jits see committed shardings and compile SPMD).
+
+    Quantized (QuantTensor) whisper trees are replicated instead: packed
+    mlx-group codes can't be row/column-split along P specs, and quantized
+    whisper TP is not a served config (whisper fits one chip — the mesh
+    buys DP over windows)."""
+    if _has_quant_leaves(params):
+        return replicate_params(params, mesh)
     specs = whisper_param_specs(params, tp=tp if tp in mesh.axis_names else None)
     return jax.tree.map(
         lambda a, s: jax.device_put(a, NamedSharding(mesh, s)),

@@ -18,6 +18,10 @@ long a lone window waits for company.
 Semantics match ``transcribe(batch_windows=True)`` (fixed-stride windows,
 no conditioning on previous text — the reference launcher's configuration,
 reference ``run:5``).
+
+Multi-chip: pass ``mesh=`` (``parallel.mesh.make_mesh``) and each flushed
+batch is DP-sharded over the mesh's "dp" axis — one decode loop spans all
+chips, token-identical to single-device (GSPMD changes layout, not math).
 """
 
 from __future__ import annotations
@@ -63,16 +67,32 @@ class TranscriptionBatcher:
         batch_size: int | tuple[int, ...] | list[int] = 8,
         max_wait_ms: float = 50.0,
         decoding: DecodingOptions | None = None,
+        mesh=None,  # jax.sharding.Mesh — multi-chip DP over windows
     ) -> None:
-        self.params = params
         self.config = config
         self.tokenizer = tokenizer
+        # Multi-chip serving (SURVEY.md §2.4 — replaces the reference's
+        # single-writer lock, reference daemon/server.py:280): params are
+        # committed to the mesh (TP-split for fp trees, replicated for
+        # quantized; whisper fits one chip so DP over windows is the
+        # scaling axis) and every flushed window batch is sharded over
+        # "dp". Tokens are identical to single-device execution
+        # (tests/test_batcher.py::test_batcher_mesh_token_identical).
+        self.mesh = mesh
+        self._dp = int(mesh.shape.get("dp", 1)) if mesh is not None else 1
+        if mesh is not None:
+            from whisper_mlx_tpu.parallel.sharding import shard_params
+
+            params = shard_params(params, mesh)
+        self.params = params
         # batch-size BUCKETS: each is one compiled decode executable; a
         # flush rides the smallest bucket that fits its jobs, so a lone
         # 1-window request doesn't pay the largest compile shape's cost
         if isinstance(batch_size, int):
             batch_size = (batch_size,)
-        self.buckets = tuple(sorted(set(batch_size)))
+        # each bucket must divide evenly over "dp" — round up
+        dp = self._dp
+        self.buckets = tuple(sorted({-(-b // dp) * dp for b in batch_size}))
         self.batch_size = self.buckets[-1]
         self.max_wait_ms = max_wait_ms
         self.decoding = decoding or DecodingOptions()
@@ -248,6 +268,12 @@ class TranscriptionBatcher:
 
         params = maybe_dense_decode_params(
             self.params, rows=bucket * mel.shape[1], dtype=self.config.dtype)
+        if self.mesh is not None:
+            # commit the window batch over "dp" — GSPMD compiles the same
+            # encode/decode jits SPMD; buckets are dp-divisible (__init__)
+            from whisper_mlx_tpu.parallel.sharding import shard_batch
+
+            mel = shard_batch(mel, self.mesh)
         states = encode(params, jnp.asarray(mel), self.config)
         if self.decoding.beam_size is not None:  # defer is greedy-only
             results = decode(

@@ -21,6 +21,12 @@ Env knobs (all optional):
                         is one compiled decode executable, and a request
                         batch rides the smallest bucket that fits, so a
                         lone short request doesn't pay the 56-slot shape)
+  WTPU_SERVE_DP         data-parallel width for ASR serving: "auto"
+                        (default — all local TPU chips) or an int; ≤1
+                        disables the mesh. Windows are DP-sharded over
+                        the mesh (SURVEY.md §2.4), replacing the
+                        reference's single-writer lock
+                        (reference daemon/server.py:280).
 """
 
 from __future__ import annotations
@@ -52,6 +58,36 @@ def serving_batch_buckets() -> tuple[int, ...]:
     except ValueError:
         buckets = (56,) if on_tpu else (8,)
     return buckets or ((56,) if on_tpu else (8,))
+
+
+def serving_mesh() -> "Any | None":
+    """The ASR serving mesh (dp × 1), or None when a single chip serves.
+
+    Reads WTPU_SERVE_DP ("auto" = every local device on TPU backends; an
+    int pins the width; ≤1 disables). Single-chip environments — including
+    this image's one-TPU tunnel — return None, so the default serving path
+    is unchanged; the multi-chip path is CPU-mesh-tested
+    (tests/test_batcher.py::test_batcher_mesh_token_identical) and
+    dryrun-compiled by ``__graft_entry__.dryrun_multichip``.
+    """
+    import jax
+
+    raw = os.environ.get("WTPU_SERVE_DP", "auto").strip().lower()
+    n = jax.local_device_count()
+    if raw in ("", "auto"):
+        dp = n if jax.default_backend() == "tpu" else 1
+    else:
+        try:
+            dp = int(raw)
+        except ValueError:
+            dp = 1
+    if dp <= 1:
+        return None
+    if dp > n:
+        raise ValueError(f"WTPU_SERVE_DP={dp} exceeds {n} local devices")
+    from whisper_mlx_tpu.parallel.mesh import make_mesh
+
+    return make_mesh(dp=dp, tp=1, devices=jax.devices()[:dp])
 
 
 def apply_asr_serving_config(params: Any, config: Any) -> tuple[Any, Any]:

@@ -659,7 +659,7 @@ def create_app(preload: bool = False, whisper_model: str | None = None,
         if whisper_model:
             from whisper_mlx_tpu.cli import load_model
             from whisper_mlx_tpu.runtime.serving_config import (
-                apply_asr_serving_config, serving_batch_buckets,
+                apply_asr_serving_config, serving_batch_buckets, serving_mesh,
             )
 
             params, config, tokenizer = await asyncio.to_thread(
@@ -671,7 +671,8 @@ def create_app(preload: bool = False, whisper_model: str | None = None,
             from whisper_mlx_tpu.runtime.batcher import TranscriptionBatcher
 
             app["batcher"] = TranscriptionBatcher(
-                params, config, tokenizer, batch_size=serving_batch_buckets())
+                params, config, tokenizer, batch_size=serving_batch_buckets(),
+                mesh=serving_mesh())
         try:
             from whisper_mlx_tpu.serving.sync.scheduler import start_scheduler
 
