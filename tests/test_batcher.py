@@ -325,3 +325,56 @@ def test_load_audio_pcm16_gating(tmp_path):
     assert load_audio_pcm16(tmp_path / "missing.wav") is None
     (tmp_path / "junk.wav").write_bytes(b"not a wav")
     assert load_audio_pcm16(tmp_path / "junk.wav") is None
+
+    # odd-length data chunk = corrupt 16-bit PCM: the fast path must refuse
+    # (None) so load_audio raises the same canonical error for both paths
+    odd = wav(tmp_path / "odd.wav")
+    body = odd.read_bytes()
+    odd.write_bytes(body[:-1])
+    assert load_audio_pcm16(odd) is None
+    with pytest.raises(ValueError):
+        load_audio(odd)
+
+
+def test_load_audio_serving_single_parse(tmp_path, monkeypatch):
+    """load_audio_serving: int16 passthrough for eligible WAVs, f32 decode
+    from ONE parse otherwise (the old pcm16→load_audio chain read every
+    non-fast-path WAV twice — ADVICE r3), canonical errors preserved."""
+    import struct as _struct
+
+    import whisper_mlx_tpu.audio.decode as dec
+
+    def wav(path, rate=16_000, channels=1, bits=16, fmt=1, n=1600):
+        rng = np.random.default_rng(0)
+        if bits == 16:
+            body = (np.clip(rng.standard_normal(n * channels) * 0.1, -1, 1)
+                    * 32767).astype("<i2").tobytes()
+        else:
+            body = rng.standard_normal(n * channels).astype("<f4").tobytes()
+        block = channels * bits // 8
+        hdr = b"RIFF" + _struct.pack("<I", 36 + len(body)) + b"WAVE"
+        hdr += b"fmt " + _struct.pack("<IHHIIHH", 16, fmt, channels, rate,
+                                      rate * block, block, bits)
+        hdr += b"data" + _struct.pack("<I", len(body))
+        path.write_bytes(hdr + body)
+        return path
+
+    reads = []
+    real_read_bytes = dec.Path.read_bytes
+    monkeypatch.setattr(dec.Path, "read_bytes",
+                        lambda self: (reads.append(str(self)),
+                                      real_read_bytes(self))[1])
+
+    fast = wav(tmp_path / "fast.wav")
+    out = dec.load_audio_serving(fast)
+    assert out.dtype == np.int16 and reads.count(str(fast)) == 1
+
+    reads.clear()
+    stereo = wav(tmp_path / "stereo.wav", channels=2)
+    out = dec.load_audio_serving(stereo)
+    assert out.dtype == np.float32
+    assert reads.count(str(stereo)) == 1  # decoded from the one parse
+    np.testing.assert_array_equal(out, dec.load_audio(stereo))
+
+    with pytest.raises((ValueError, OSError)):  # canonical load_audio error
+        dec.load_audio_serving(tmp_path / "nope.wav")

@@ -56,7 +56,19 @@ def _read_wav(path: str | Path) -> tuple[np.ndarray, int]:
     fallback share one behavior spec.
     """
     fmt, data = _parse_wav_chunks(path)
+    return _decode_wav_data(path, fmt, data)
+
+
+def _decode_wav_data(path: str | Path, fmt: tuple, data: bytes) -> tuple[np.ndarray, int]:
+    """Decode already-parsed WAV chunks → (mono f32, rate). Split from
+    :func:`_read_wav` so single-read callers (``load_audio_serving``) reuse
+    the bytes of one parse instead of re-reading the file."""
     audio_format, channels, rate, _byte_rate, _block_align, bits = fmt
+    if bits >= 8 and len(data) % (bits // 8):
+        # truncated sample at the end of the data chunk: name the file
+        # instead of surfacing numpy's raw frombuffer message
+        raise ValueError(f"{path}: data chunk is not a whole number of "
+                         f"{bits}-bit samples (corrupt/truncated WAV)")
     if audio_format == 1:  # PCM int
         if bits == 8:
             x = (np.frombuffer(data, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
@@ -105,7 +117,38 @@ def load_audio_pcm16(path: str | Path, sample_rate: int = SAMPLE_RATE) -> np.nda
     audio_format, channels, rate, _byte_rate, _block_align, bits = fmt
     if (audio_format, channels, bits) != (1, 1, 16) or rate != sample_rate:
         return None
-    return np.frombuffer(data[: len(data) // 2 * 2], dtype="<i2").copy()
+    if len(data) % 2:
+        # odd data chunk = corrupt 16-bit PCM; fall through so load_audio
+        # raises the canonical error (np.frombuffer in _decode_wav_data) —
+        # one behavior spec for both paths
+        return None
+    return np.frombuffer(data, dtype="<i2").copy()
+
+
+def load_audio_serving(path: str | Path, sample_rate: int = SAMPLE_RATE) -> np.ndarray:
+    """Serving loader: ONE file read per request.
+
+    Returns raw ``<i2`` samples when the file is already a 16-bit mono PCM
+    WAV at ``sample_rate`` (the batcher uploads half the bytes and converts
+    on device — bit-identical), else decodes f32 from the same parsed chunk
+    bytes instead of re-reading the file (``load_audio_pcm16`` followed by
+    ``load_audio`` read every non-fast-path WAV twice). Non-WAV containers
+    and corrupt files delegate to :func:`load_audio` for the canonical
+    error/ffmpeg behavior.
+    """
+    path = Path(path)
+    if path.suffix.lower() not in (".wav", ".wave"):
+        return load_audio(path, sample_rate)
+    try:
+        fmt, data = _parse_wav_chunks(path)
+    except (ValueError, OSError):
+        return load_audio(path, sample_rate)  # canonical error path
+    audio_format, channels, rate, _byte_rate, _block_align, bits = fmt
+    if ((audio_format, channels, bits) == (1, 1, 16)
+            and rate == sample_rate and len(data) % 2 == 0):
+        return np.frombuffer(data, dtype="<i2").copy()
+    audio, rate = _decode_wav_data(path, fmt, data)
+    return resample(audio, rate, sample_rate)
 
 
 def resample(audio: np.ndarray, src_rate: int, dst_rate: int = SAMPLE_RATE) -> np.ndarray:

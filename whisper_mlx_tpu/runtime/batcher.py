@@ -114,7 +114,10 @@ class TranscriptionBatcher:
             results = await request.done
         finally:
             del self._requests[req_id]
-        return self._assemble(results)
+        # segment assembly (per-token BPE decode) is pure-Python host work —
+        # run it off the event loop so the loop keeps collecting/flushing
+        # batches for concurrent requests while this response is built
+        return await asyncio.to_thread(self._assemble, results)
 
     async def stream_transcribe(self, audio: np.ndarray):
         """Progressive transcription: yields each window's segments as soon

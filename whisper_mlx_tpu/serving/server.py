@@ -499,43 +499,49 @@ async def transcribe_endpoint(request: web.Request) -> web.Response:
 
     import numpy as np
 
-    from whisper_mlx_tpu.audio.decode import load_audio, load_audio_pcm16
+    from whisper_mlx_tpu.audio.decode import load_audio_serving
     from whisper_mlx_tpu.inference.transcribe import transcribe
 
-    def _load(path: str) -> np.ndarray:
-        # raw-PCM16 fast path: half the device-upload bytes when the file is
-        # already 16 kHz/16-bit mono (the batcher converts on device)
-        audio = load_audio_pcm16(path)
-        return audio if audio is not None else load_audio(path)
+    async def _load(path: str) -> np.ndarray:
+        # one-read loader (raw-PCM16 passthrough when eligible — half the
+        # device-upload bytes; f32 decode from the same parse otherwise),
+        # in a thread so the event loop keeps serving concurrent requests
+        # while this request's file I/O runs
+        return await asyncio.to_thread(load_audio_serving, path)
 
     options: dict[str, Any] = {}
     audio = None
-    if request.content_type and request.content_type.startswith("multipart/"):
-        reader = await request.multipart()
-        async for part in reader:
-            if part.name == "file":
-                import os
-                import re
-                import tempfile
+    try:
+        if request.content_type and request.content_type.startswith("multipart/"):
+            reader = await request.multipart()
+            async for part in reader:
+                if part.name == "file":
+                    import os
+                    import re
+                    import tempfile
 
-                # keep only a sane extension from the client name (decoder
-                # dispatch needs it); never trust the full filename
-                ext = os.path.splitext(part.filename or "")[1].lower()
-                suffix = ext if re.fullmatch(r"\.[a-z0-9]{1,5}", ext) else ".wav"
-                with tempfile.NamedTemporaryFile(suffix=suffix, delete=False) as f:
-                    f.write(await part.read())
-                    tmp_path = f.name
-                try:
-                    audio = _load(tmp_path)
-                finally:
-                    os.unlink(tmp_path)
-            elif part.name == "options":
-                options = json.loads(await part.text())
-    else:
-        body = await request.json()
-        if "path" in body:
-            audio = _load(body["path"])
-        options = body.get("options", {})
+                    # keep only a sane extension from the client name (decoder
+                    # dispatch needs it); never trust the full filename
+                    ext = os.path.splitext(part.filename or "")[1].lower()
+                    suffix = ext if re.fullmatch(r"\.[a-z0-9]{1,5}", ext) else ".wav"
+                    with tempfile.NamedTemporaryFile(suffix=suffix, delete=False) as f:
+                        f.write(await part.read())
+                        tmp_path = f.name
+                    try:
+                        audio = await _load(tmp_path)
+                    finally:
+                        os.unlink(tmp_path)
+                elif part.name == "options":
+                    options = json.loads(await part.text())
+        else:
+            body = await request.json()
+            if "path" in body:
+                audio = await _load(body["path"])
+            options = body.get("options", {})
+    except (ValueError, OSError, RuntimeError) as exc:
+        # corrupt/unreadable audio is a client error, not a server crash:
+        # surface load_audio's canonical message as a structured 422
+        return _error(f"audio decode failed: {exc}", 422)
     if audio is None:
         return _error("no audio provided (multipart 'file' or JSON 'path')", 422)
 
@@ -568,7 +574,7 @@ async def transcribe_stream_endpoint(request: web.Request) -> web.StreamResponse
 
     import numpy as np
 
-    from whisper_mlx_tpu.audio.decode import load_audio, load_audio_pcm16
+    from whisper_mlx_tpu.audio.decode import load_audio_serving
 
     try:
         body = await request.json()
@@ -576,9 +582,10 @@ async def transcribe_stream_endpoint(request: web.Request) -> web.StreamResponse
         return _error("invalid JSON body", 400)
     if "path" not in body:
         return _error("'path' is required", 422)
-    audio = load_audio_pcm16(body["path"])
-    if audio is None:
-        audio = load_audio(body["path"])
+    try:
+        audio = await asyncio.to_thread(load_audio_serving, body["path"])
+    except (ValueError, OSError, RuntimeError) as exc:
+        return _error(f"audio decode failed: {exc}", 422)
 
     resp = web.StreamResponse(headers={
         "Content-Type": "text/event-stream",
