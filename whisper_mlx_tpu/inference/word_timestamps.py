@@ -60,6 +60,15 @@ def dtw(cost: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     ``cost`` is (tokens, frames). Returns (text_indices, time_indices) —
     the standard 3-move (↓, →, ↘) DTW traceback. Uses the native C++ kernel
     (native/audio.cc wtpu_dtw) when built; NumPy fallback otherwise.
+
+    Tie-breaking copies the openai/transformers comparator verbatim
+    (diag/down only when STRICTLY smaller than both alternatives, else
+    right — including the quirk that ``diag == down < right`` takes
+    ``right``), so alignment paths are bit-identical to the reference
+    implementations on tied costs
+    (transformers/models/whisper/generation_whisper.py
+    ``_dynamic_time_warping``; verified by
+    tests/test_word_timestamps.py::test_dtw_matches_transformers).
     """
     try:
         from whisper_mlx_tpu.native import lib as _native
@@ -81,14 +90,13 @@ def dtw(cost: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         m_down = prev[1:]
         c_prev = np.inf
         for j in range(1, M + 1):
-            best = m_diag[j - 1]
-            move = 0  # diagonal
-            if m_down[j - 1] < best:
-                best = m_down[j - 1]
-                move = 1  # down (advance token only)
-            if c_prev < best:
-                best = c_prev
-                move = 2  # right (advance frame only)
+            c0, c1, c2 = m_diag[j - 1], m_down[j - 1], c_prev
+            if c0 < c1 and c0 < c2:
+                best, move = c0, 0  # diagonal
+            elif c1 < c0 and c1 < c2:
+                best, move = c1, 1  # down (advance token only)
+            else:
+                best, move = c2, 2  # right (advance frame only)
             c_prev = row[j - 1] + best
             cur[j] = c_prev
             trace[i, j] = move
@@ -106,6 +114,35 @@ def dtw(cost: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         else:
             j -= 1
     return np.array(text_idx[::-1]), np.array(time_idx[::-1])
+
+
+def alignment_path(
+    w: np.ndarray,  # (heads, tokens, 1500) post-softmax cross-attention
+    num_frames: int,
+    *,
+    n_skip_rows: int,
+    medfilt_width: int = 7,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Post-attention timing pipeline: normalize → median-filter → head-mean
+    → DTW. Pure so the differential oracle can feed identical weights here
+    and to transformers' ``_extract_token_timestamps``
+    (tests/test_word_timestamps.py::test_alignment_times_match_hf_extractor).
+
+    Rows ``[n_skip_rows : -1]`` enter the DTW (openai semantics: drop the
+    sot-sequence rows and the row AT eot). Slicing post-softmax weights to
+    ``num_frames // 2`` and renormalizing over the kept frames equals
+    openai's softmax-after-slice exactly; transformers skips the renorm —
+    a known HF-vs-openai divergence that vanishes at full windows.
+    """
+    w = w[:, :, : num_frames // 2].astype(np.float32)
+    w = w / np.maximum(w.sum(-1, keepdims=True), 1e-9)  # renorm over sliced frames
+    mean = w.mean(axis=-2, keepdims=True)
+    std = w.std(axis=-2, keepdims=True)
+    w = (w - mean) / np.maximum(std, 1e-9)
+    w = median_filter(w, medfilt_width)
+    matrix = w.mean(axis=0)  # (T, frames)
+    matrix = matrix[n_skip_rows:-1]  # rows for [no_timestamps, *text_tokens]
+    return dtw(-matrix.astype(np.float64))
 
 
 @dataclass
@@ -170,16 +207,9 @@ def find_alignment(
     # must not see the bucket-pad rows)
     cross_np = np.asarray(cross[:, 0].astype(jnp.float32))
     w = np.stack([cross_np[l, h] for l, h in heads])  # (H, T, 1500)
-    w = w[:, :n_real, : num_frames // 2]
-    w = w / np.maximum(w.sum(-1, keepdims=True), 1e-9)  # renorm over sliced frames
-    mean = w.mean(axis=-2, keepdims=True)
-    std = w.std(axis=-2, keepdims=True)
-    w = (w - mean) / np.maximum(std, 1e-9)
-    w = median_filter(w, medfilt_width)
-    matrix = w.mean(axis=0)  # (T, frames)
-    matrix = matrix[len(sot_seq) : -1]  # rows for [no_timestamps, *text_tokens]
-
-    text_indices, time_indices = dtw(-matrix.astype(np.float64))
+    text_indices, time_indices = alignment_path(
+        w[:, :n_real], num_frames, n_skip_rows=len(sot_seq),
+        medfilt_width=medfilt_width)
 
     words, word_tokens = tokenizer.split_to_word_tokens(list(text_tokens) + [tokenizer.eot])
     if len(word_tokens) <= 1:

@@ -231,10 +231,17 @@ long long wtpu_dtw(const float* cost, long long n, long long m,
     cur[0] = INF;
     const float* row = cost + (i - 1) * m;
     for (long long j = 1; j <= m; j++) {
-      double best = prev[j - 1];  // diagonal
-      int8_t move = 0;
-      if (prev[j] < best) { best = prev[j]; move = 1; }   // down
-      if (cur[j - 1] < best) { best = cur[j - 1]; move = 2; }  // right
+      // openai/transformers tie-break verbatim (generation_whisper.py
+      // _dynamic_time_warping): diag/down only when STRICTLY smaller than
+      // both alternatives, else right — paths bit-identical on ties
+      const double c0 = prev[j - 1];   // diagonal
+      const double c1 = prev[j];       // down
+      const double c2 = cur[j - 1];    // right
+      double best;
+      int8_t move;
+      if (c0 < c1 && c0 < c2)      { best = c0; move = 0; }
+      else if (c1 < c0 && c1 < c2) { best = c1; move = 1; }
+      else                         { best = c2; move = 2; }
       cur[j] = row[j - 1] + best;
       trace[(size_t)i * (m + 1) + j] = move;
     }
