@@ -368,3 +368,104 @@ def test_stacked_quant_matmul_matches_parts():
     assert fused.shape == (3 * N, K)
     out = np.asarray(quant_matmul_pallas(jnp.asarray(x), fused, interpret=True))
     np.testing.assert_allclose(out, np.concatenate(refs, axis=1), atol=2e-4, rtol=2e-4)
+
+
+# -- W8A8 MXU decode path (ops/quant_a8.py) ----------------------------------
+
+
+def _a8_emulate(x, codes, scale, n_orig):
+    """Integer-exact host emulation of a8_matmul's arithmetic."""
+    x2 = x.reshape(-1, x.shape[-1]).astype(np.float64)
+    sx = np.maximum(np.abs(x2).max(-1, keepdims=True), 1e-8) / 127.0
+    xq = np.clip(np.round(x2 / sx), -127, 127).astype(np.int32)
+    acc = xq @ codes.astype(np.int32)  # exact int32
+    out = acc.astype(np.float64) * scale[0][None, :] * sx
+    return out[:, :n_orig]
+
+
+def test_a8_matmul_integer_exact():
+    """a8_matmul == the int32 host emulation bit-for-bit on the integer
+    part (the MXU accumulate is exact; only the two fp scale multiplies
+    round)."""
+    from whisper_mlx_tpu.ops.quant import QuantTensor, quantize
+    from whisper_mlx_tpu.ops.quant_a8 import a8_matmul, requant_a8
+
+    rng = np.random.default_rng(0)
+    for n, k, m, tile in ((192, 128, 1, 128), (320, 256, 4, 128),
+                          (128, 128, 9, 128)):
+        w = rng.standard_normal((n, k)).astype(np.float32)
+        w_q, s, b = quantize(w, bits=4, group_size=64)
+        q = QuantTensor(jnp.asarray(w_q), jnp.asarray(s), jnp.asarray(b), 4, 64)
+        at = requant_a8(q, tile_n=tile, depth=2)
+        x = rng.standard_normal((m, k)).astype(np.float32)
+        got = np.asarray(a8_matmul(jnp.asarray(x), at, interpret=True))
+        ref = _a8_emulate(x, np.asarray(at.codes), np.asarray(at.scale), n)
+        np.testing.assert_allclose(got, ref, rtol=2e-5, atol=1e-5)
+
+
+def test_a8_accuracy_vs_fp_dequant():
+    """W8A8 error vs the exact int4-dequant matmul stays small: the int8
+    re-quant grid is finer than the int4 grid it encodes, so the dominant
+    term is the per-token activation quant (~0.5% RMS)."""
+    from whisper_mlx_tpu.ops.quant import QuantTensor, quantize
+    from whisper_mlx_tpu.ops.quant_a8 import a8_matmul, requant_a8
+
+    rng = np.random.default_rng(1)
+    n, k = 512, 1024
+    w = rng.standard_normal((n, k)).astype(np.float32)
+    w_q, s, b = quantize(w, bits=4, group_size=64)
+    q = QuantTensor(jnp.asarray(w_q), jnp.asarray(s), jnp.asarray(b), 4, 64)
+    at = requant_a8(q, tile_n=256, depth=2)
+    x = rng.standard_normal((3, k)).astype(np.float32)
+    exact = np.asarray(jnp.asarray(x) @ q.dequantize(jnp.float32).T)
+    got = np.asarray(a8_matmul(jnp.asarray(x), at, interpret=True))
+    rel = np.linalg.norm(got - exact) / np.linalg.norm(exact)
+    assert rel < 0.02, rel
+    # and the W8 re-quant alone (fp activations) is tighter still
+    wa8 = np.asarray(at.dequantize(jnp.float32))
+    w4 = np.asarray(q.dequantize(jnp.float32))
+    assert np.abs(wa8 - w4).max() <= np.abs(w4).max() / 127 + 1e-6
+
+
+def test_a8_lead_dims_and_ragged_n():
+    """(B, T, K) lead dims and N not a tile_n multiple both round-trip."""
+    from whisper_mlx_tpu.ops.quant import QuantTensor, quantize
+    from whisper_mlx_tpu.ops.quant_a8 import a8_matmul, requant_a8
+
+    rng = np.random.default_rng(2)
+    n, k = 200, 128  # N=200 pads to 256 at tile_n=128
+    w = rng.standard_normal((n, k)).astype(np.float32)
+    w_q, s, b = quantize(w, bits=4, group_size=64)
+    q = QuantTensor(jnp.asarray(w_q), jnp.asarray(s), jnp.asarray(b), 4, 64)
+    at = requant_a8(q, tile_n=128, depth=4)
+    assert at.shape == (n, k)
+    x = rng.standard_normal((2, 3, k)).astype(np.float32)
+    got = np.asarray(a8_matmul(jnp.asarray(x), at, interpret=True))
+    assert got.shape == (2, 3, n)
+    ref = _a8_emulate(x, np.asarray(at.codes), np.asarray(at.scale), n)
+    np.testing.assert_allclose(got.reshape(6, n), ref, rtol=2e-5, atol=1e-5)
+
+
+def test_prepare_a8_params_tree_and_dispatch():
+    """prepare_a8_params converts linears, keeps embeddings packed; the
+    quant_matmul dispatch routes A8Tensor to dequant-GEMM off-TPU (and the
+    a8 kernel on TPU, exercised by scripts/bench_qwen.py)."""
+    from whisper_mlx_tpu.ops.quant import QuantTensor, quant_matmul, quantize
+    from whisper_mlx_tpu.ops.quant_a8 import A8Tensor, prepare_a8_params
+
+    rng = np.random.default_rng(3)
+    def qt(n, k):
+        w_q, s, b = quantize(rng.standard_normal((n, k)).astype(np.float32),
+                             bits=4, group_size=64)
+        return QuantTensor(jnp.asarray(w_q), jnp.asarray(s),
+                           jnp.asarray(b), 4, 64)
+
+    tree = {"embed": qt(256, 128), "layers": [{"wq": qt(128, 128)}]}
+    out = prepare_a8_params(tree, tile_n=128)
+    assert isinstance(out["embed"], QuantTensor)  # row-gathered: stays
+    leaf = out["layers"][0]["wq"]
+    assert isinstance(leaf, A8Tensor)
+    x = jnp.asarray(rng.standard_normal((2, 128)).astype(np.float32))
+    got = np.asarray(quant_matmul(x, leaf))  # CPU → dequant-GEMM fallback
+    ref = np.asarray(x) @ np.asarray(leaf.dequantize(jnp.float32)).T
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)

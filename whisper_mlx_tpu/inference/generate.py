@@ -216,6 +216,18 @@ class LLMEngine:
         # Measured +7% decode (qwen2.5-7b B=1: 52.2 vs 48.9 tok/s, r3);
         # token-exact vs packed. uint32 planes cross jit boundaries, so
         # per-step loops (SSE streaming, batch engine) can use it too.
+        # Opt-in (WTPU_QWEN_A8=1): re-quantize packed linears to per-channel
+        # int8 (ops/quant_a8.py) — decode matvecs become pure s8×s8 MXU dots
+        # with zero per-value VPU dequant (the r3 "B=1 wall"). Numerics
+        # change (W8A8 vs exact int4 dequant): opt-in, deltas measured in
+        # tests/test_quant.py. Runs before MBT, which then skips A8 leaves —
+        # so A8 wins when both flags are set.
+        if os.environ.get("WTPU_QWEN_A8", "0") == "1":
+            from whisper_mlx_tpu.ops.quant_a8 import prepare_a8_params
+
+            params = prepare_a8_params(params)
+            if draft is not None:
+                draft = (prepare_a8_params(draft[0]), draft[1])
         if os.environ.get("WTPU_MBT_RESIDENT", "0") == "1":
             from whisper_mlx_tpu.ops.quant import prepare_mbt_params
 

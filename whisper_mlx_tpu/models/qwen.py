@@ -90,7 +90,7 @@ def rms_norm(x: jnp.ndarray, g: jnp.ndarray, eps: float) -> jnp.ndarray:
 def _linear(x: jnp.ndarray, p: Params) -> jnp.ndarray:
     w = p["w"]
     if type(w).__name__ in ("QuantTensor", "NativeQuantTensor",
-                            "DenseWeight", "QuantTensorT"):
+                            "DenseWeight", "QuantTensorT", "A8Tensor"):
         from whisper_mlx_tpu.ops.quant import quant_matmul
 
         y = quant_matmul(x, w)

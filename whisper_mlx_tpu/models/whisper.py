@@ -145,7 +145,7 @@ def layer_norm(x: jnp.ndarray, p: Params, eps: float = 1e-5) -> jnp.ndarray:
 def linear(x: jnp.ndarray, p: Params) -> jnp.ndarray:
     w = p["w"]
     if type(w).__name__ in ("QuantTensor", "NativeQuantTensor",
-                            "DenseWeight", "QuantTensorT"):  # ops/quant.py
+                            "DenseWeight", "QuantTensorT", "A8Tensor"):  # ops/quant.py
         from whisper_mlx_tpu.ops.quant import quant_matmul
 
         y = quant_matmul(x, w)

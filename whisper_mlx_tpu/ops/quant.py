@@ -414,6 +414,21 @@ def quant_matmul(x: jnp.ndarray, q, backend: str = "auto") -> jnp.ndarray:
         return x @ q.w.astype(x.dtype).T  # transposed-rhs dot, no copy
     if isinstance(q, NativeQuantTensor):
         return native_group_matmul(x, q)
+    if type(q).__name__ == "A8Tensor":
+        # W8A8 MXU path (ops/quant_a8.py, prepare_a8_params): decode-shaped
+        # calls ride the s8×s8 DMA-ring kernel; large-M (prefill) dequants
+        # once and takes the XLA GEMM like the other resident layouts
+        from whisper_mlx_tpu.ops.quant_a8 import a8_matmul
+
+        import jax
+
+        rows = 1
+        for d in x.shape[:-1]:
+            rows *= d
+        max_rows = int(os.environ.get("WTPU_QMM_PALLAS_MAX_ROWS", "512"))
+        if jax.default_backend() == "tpu" and rows <= max_rows:
+            return a8_matmul(x, q)
+        return x @ q.dequantize(dtype=x.dtype).T
     if not isinstance(q, QuantTensor):
         from whisper_mlx_tpu.ops.quant_pallas_mb import (
             QuantTensorT, quant_matmul_mbt)

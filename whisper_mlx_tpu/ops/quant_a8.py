@@ -1,0 +1,223 @@
+"""W8A8 MXU decode path: per-channel int8 weights × per-token int8 activations.
+
+The r3 frontier study (docs/performance.md "the B=1 wall") proved the
+fused 4-bit dequant-matmul kernels are VPU-bound at LLM B=1 — every
+dequant strategy (planar/u8/i8) pays 2-5 VPU ops per weight value before
+the MXU sees it, pinning the big matvecs at 150-350 µs/layer while the
+dense bf16 stream runs at the HBM roofline. Group-wise (64, N) scales are
+the reason the arithmetic can't leave the VPU: a whole-K s8×s8 MXU dot
+cannot apply scales that change every 64 rows of K.
+
+This module removes the constraint by REQUANTIZING the checkpoint at load
+time to symmetric per-CHANNEL int8 (one scale per output column, zero
+point absorbed into the codes):
+
+    w ≈ s_n · c[k, n],  c ∈ [-127, 127]
+
+so the whole decode matvec becomes ONE s8×s8 `dot_general` on the MXU
+(int32 accumulate) plus a single (M, N) scale multiply — zero per-K-value
+VPU work; the weight stream is the only cost. Activations quantize
+per-token (dynamic symmetric, amax/127). Numerics: the int8 re-quant grid
+(|w|max/127 per channel) sits well below the source int4 grid's own step
+(|w|max_g/~15 per group), so W8 re-quant of a 4-bit checkpoint is
+near-lossless; the A8 term is the standard dynamic-activation trade and
+is measured, not assumed (tests/test_quant.py::test_a8_*).
+
+Streamed bytes are 2× the packed-int4 kernels' — and still ~2× faster,
+because those kernels run at 150-300 GB/s (VPU-bound) while this one
+rides the DMA ring at the full HBM rate with the MXU idle-waiting.
+Qwen-7B fits easily (≈7.6 GiB); 32B does NOT fit int8 on one 16 GiB chip
+— that family stays on the packed-int4 kernels (or shards TP>1).
+
+Reference workload: mlx-lm 4-bit ``quantized_matmul`` at B=1 decode
+(SURVEY.md §2.3); this is an above-parity serving mode (WTPU_QWEN_A8=1).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+@jax.tree_util.register_pytree_node_class
+class A8Tensor:
+    """Per-channel-int8 re-quantized linear, resident in the MXU layout.
+
+    ``codes`` (K, Np) int8 — natural matmul orientation, N padded to a
+    ``tile_n`` multiple; ``scale`` (1, Np) f32 per-channel. ``shape``
+    reports the logical (out, in) like QuantTensor.
+    """
+
+    def __init__(self, codes, scale, n_orig: int, tile_n: int, depth: int):
+        self.codes = codes
+        self.scale = scale
+        self.n_orig = int(n_orig)
+        self.tile_n = int(tile_n)
+        self.depth = int(depth)
+
+    @property
+    def shape(self):
+        return (self.n_orig, self.codes.shape[0])
+
+    def dequantize(self, dtype=jnp.float32):
+        """(N, K) fp weights — the prefill/large-M fallback path."""
+        w = self.codes.astype(jnp.float32) * self.scale  # (K, Np)
+        return w[:, : self.n_orig].T.astype(dtype)
+
+    def tree_flatten(self):
+        return (self.codes, self.scale), (self.n_orig, self.tile_n, self.depth)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+    def __repr__(self):
+        return f"A8Tensor(out={self.n_orig}, in={self.codes.shape[0]})"
+
+
+def requant_a8(q, tile_n: int = 512, depth: int = 4) -> A8Tensor:
+    """Re-quantize a QuantTensor/DenseWeight to per-channel symmetric int8
+    (eager, once at load). The group-wise zero point folds into the codes.
+    """
+    if hasattr(q, "dequantize"):
+        w = q.dequantize(jnp.float32)  # (N, K)
+    else:  # raw array
+        w = jnp.asarray(q, jnp.float32)
+    n, k = w.shape
+    amax = jnp.max(jnp.abs(w), axis=1)  # (N,)
+    scale = jnp.maximum(amax, 1e-12) / 127.0
+    codes = jnp.clip(jnp.round(w / scale[:, None]), -127, 127).astype(jnp.int8)
+    np_ = _round_up(n, tile_n)
+    codes_t = jnp.zeros((k, np_), jnp.int8).at[:, :n].set(codes.T)
+    scale_t = jnp.zeros((1, np_), jnp.float32).at[0, :n].set(scale)
+    return A8Tensor(codes_t, scale_t, n, tile_n, depth)
+
+
+def _a8_kernel(xq_ref, sn_ref, wq_hbm, out_ref, wq_buf, sem,
+               *, tile_n: int, depth: int, n_tiles: int):
+    """DEPTH-deep DMA ring over (K, tile_n) int8 slabs; per tile ONE
+    s8×s8 MXU dot (int32 accumulate) + the per-channel scale multiply.
+    Same ring discipline as ops/quant_pallas_mb._mbt_kernel."""
+
+    def start(t, slot):
+        pltpu.make_async_copy(
+            wq_hbm.at[:, pl.ds(t * tile_n, tile_n)], wq_buf.at[slot],
+            sem.at[slot]).start()
+
+    def wait(t, slot):
+        pltpu.make_async_copy(
+            wq_hbm.at[:, pl.ds(t * tile_n, tile_n)], wq_buf.at[slot],
+            sem.at[slot]).wait()
+
+    for d in range(depth):
+        start(d, d)
+
+    xq = xq_ref[:]  # (Mp, K) int8
+
+    def body(t, carry):
+        slot = jax.lax.rem(t, depth)
+        wait(t, slot)
+        acc = jax.lax.dot_general(
+            xq, wq_buf[slot],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )  # (Mp, TILE_N) exact
+        nxt = t + depth
+
+        @pl.when(nxt < n_tiles)
+        def _():
+            start(nxt, slot)
+
+        sn = sn_ref[:, pl.ds(t * tile_n, tile_n)]  # (1, TILE_N) f32
+        out_ref[:, pl.ds(t * tile_n, tile_n)] = acc.astype(jnp.float32) * sn
+        return carry
+
+    jax.lax.fori_loop(0, n_tiles, body, 0)
+
+
+def a8_matmul(x: jnp.ndarray, at: A8Tensor, interpret: bool = False) -> jnp.ndarray:
+    """``x @ dequant(at).T`` with per-token dynamic int8 activations.
+
+    x (..., K) → (..., N). The Pallas call streams the int8 codes through
+    a manual DMA ring and the MXU does ALL the arithmetic; activation
+    quantization (amax/127 per row) and the sx·out fold are a handful of
+    XLA elementwise ops on (M, K)/(M, N) — negligible next to the stream.
+    """
+    *lead, K = x.shape
+    assert K == at.codes.shape[0], (K, at.codes.shape)
+    x2 = x.reshape(-1, K)
+    M = x2.shape[0]
+    Mp = _round_up(max(M, 8), 8)
+    tile_n, depth = at.tile_n, at.depth
+    kp, Np = at.codes.shape
+    n_tiles = Np // tile_n
+    depth = min(depth, n_tiles)
+
+    xf = x2.astype(jnp.float32)
+    sx = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True), 1e-8) / 127.0
+    xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
+    xq_pad = jnp.zeros((Mp, K), jnp.int8).at[:M].set(xq)
+
+    out = pl.pallas_call(
+        functools.partial(_a8_kernel, tile_n=tile_n, depth=depth,
+                          n_tiles=n_tiles),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # xq
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # per-channel scales
+            pl.BlockSpec(memory_space=pltpu.HBM),   # codes STAY in HBM
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Mp, Np), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((depth, kp, tile_n), jnp.int8),
+            pltpu.SemaphoreType.DMA((depth,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(xq_pad, at.scale, at.codes)
+    out = out[:M, : at.n_orig] * sx  # fold the per-token activation scale
+    return out.astype(x.dtype).reshape(*lead, at.n_orig)
+
+
+def prepare_a8_params(params, embed_keys: tuple = ("embed", "token_emb"),
+                      tile_n: int = 512, depth: int = 4,
+                      max_n: int | None = None):
+    """EAGERLY re-quantize every QuantTensor linear in the tree to
+    A8Tensor (per-channel int8, MXU layout). Embedding tables stay packed
+    (row-gathered). ``max_n`` optionally keeps vocab-sized heads on the
+    packed kernels (default: include them — the a8 kernel's VMEM
+    footprint is (Mp, Np)·4 output + (1, Np) scales, which fits even at
+    N=152k, unlike the mbt kernel's (G, N) scale spread)."""
+    import os
+
+    from whisper_mlx_tpu.ops.quant import QuantTensor
+
+    if max_n is None:
+        mn = os.environ.get("WTPU_A8_MAX_N", "")
+        max_n = int(mn) if mn else None
+
+    def walk(node):
+        if isinstance(node, QuantTensor):
+            n, _k = node.shape
+            if max_n is not None and n > max_n:
+                return node
+            return requant_a8(node, tile_n=tile_n, depth=depth)
+        if isinstance(node, dict):
+            return {k: (v if k in embed_keys and isinstance(v, QuantTensor)
+                        else walk(v))
+                    for k, v in node.items()}
+        if isinstance(node, (list, tuple)):
+            return type(node)(walk(v) for v in node)
+        return node
+
+    return walk(params)
