@@ -127,6 +127,15 @@ def main():
 
         params = prepare_mbt_params(params)
 
+    # QB_A8=1 (opt-in): re-quantize linears to per-channel int8 and run
+    # decode matvecs as pure s8×s8 MXU dots (ops/quant_a8.py) — attacks
+    # the r3 VPU-dequant wall. WTPU_A8_XLA=1 selects the pure-XLA dot
+    # lowering instead of the Pallas DMA-ring kernel.
+    if quant and os.environ.get("QB_A8", "0") == "1":
+        from whisper_mlx_tpu.ops.quant_a8 import prepare_a8_params
+
+        params = prepare_a8_params(params)
+
     cache = qwen.init_kv_cache(config, batch, max_len)
     toks = jnp.zeros((batch, prompt), jnp.int32)
 

@@ -262,6 +262,16 @@ def test_transcribe_endpoint(daemon, tmp_path):
         _post("/v1/transcribe", {})
     assert exc.value.code == 422
 
+    # corrupt audio → structured 422 with the loader's canonical message,
+    # not aiohttp's bare 500 (r4: load failures wrapped per-endpoint)
+    bad = tmp_path / "bad.wav"
+    bad.write_bytes((hdr + data)[:-1])  # odd data chunk: truncated PCM16
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        _post("/v1/transcribe", {"path": str(bad)}, timeout=60)
+    assert exc.value.code == 422
+    detail = json.loads(exc.value.read())["detail"]
+    assert "audio decode failed" in detail and "bad.wav" in detail
+
 
 def test_ui_served(daemon):
     with urllib.request.urlopen(BASE + "/ui", timeout=30) as r:

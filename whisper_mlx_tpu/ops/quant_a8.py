@@ -164,6 +164,20 @@ def a8_matmul(x: jnp.ndarray, at: A8Tensor, interpret: bool = False) -> jnp.ndar
     xf = x2.astype(jnp.float32)
     sx = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True), 1e-8) / 127.0
     xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
+
+    import os
+
+    if os.environ.get("WTPU_A8_XLA", "0") == "1":
+        # pure-XLA lowering: let XLA stream the s8 codes itself (its dense
+        # weight stream measured ~780 GB/s vs the manual ring's ~430 —
+        # scripts/bench_qwen_matmuls.py / /tmp probes r4)
+        acc = jax.lax.dot_general(
+            xq, at.codes, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        out = acc.astype(jnp.float32) * at.scale
+        out = out[:, : at.n_orig] * sx
+        return out.astype(x.dtype).reshape(*lead, at.n_orig)
+
     xq_pad = jnp.zeros((Mp, K), jnp.int8).at[:M].set(xq)
 
     out = pl.pallas_call(
