@@ -399,3 +399,57 @@ def test_transcribe_accepts_hallucination_flag(tiny):
         condition_on_previous_text=False,
     )
     assert "segments" in result and "text" in result
+
+
+def test_batched_equals_sequential_on_full_stride(tiny, monkeypatch):
+    """Orchestration invariant behind the serving mode (VERDICT r3 #6):
+    when every window decodes to a full-stride advance (the common case on
+    real speech — the window's final timestamp is 30.00), the sequential
+    seek loop and the fixed-stride batched mode see IDENTICAL windows and
+    must emit identical segments. decode() is stubbed with a fixed token
+    pattern ending in the full-window timestamp pair, so the only thing
+    under test is the two modes' windowing + segment assembly.
+
+    The complementary measurement (scripts/study_batch_divergence.py,
+    docs/wer_protocol.md §6): divergence is gated entirely by the
+    partial-advance fraction; random weights are the pessimistic extreme
+    (partial_advance_frac = 1.0, token agreement ~0) and real checkpoints
+    sit between that floor and the exact equality proven here.
+    """
+    from whisper_mlx_tpu.decoding.task import DecodingResult
+    from whisper_mlx_tpu.inference import transcribe as tr
+
+    params, config, tok = tiny
+    tsb = tok.timestamp_begin
+    text = tok.encode(" hello world")
+    window_tokens = [tsb + 0, *text, tsb + 1500, tsb + 1500]
+
+    def fake_decode(params_, states, tokenizer, config_, options,
+                    states_precomputed=False, rng=None, defer=False, **kw):
+        n = int(states.shape[0])
+        results = [DecodingResult(
+            tokens=list(window_tokens), text=" hello world", language="en",
+            avg_logprob=-0.1, no_speech_prob=0.0,
+            temperature=options.temperature, compression_ratio=1.0,
+        ) for _ in range(n)]
+        return (lambda: results) if defer else results
+
+    monkeypatch.setattr(tr, "decode", fake_decode)
+
+    audio = make_speechy_audio(seconds=75.0)
+    common = dict(params=params, config=config, tokenizer=tok, verbose=False,
+                  temperature=0.0, compression_ratio_threshold=None,
+                  logprob_threshold=None, no_speech_threshold=None,
+                  condition_on_previous_text=False, language="en")
+    seq = transcribe(audio, **common)
+    bat = transcribe(audio, batch_windows=True, **common)
+
+    sa = [s for s in seq["segments"] if s["text"].strip()]
+    sb = [s for s in bat["segments"] if s["text"].strip()]
+    assert len(sa) == len(sb) and len(sa) >= 3
+    for x, y in zip(sa, sb):
+        assert x["text"] == y["text"]
+        assert [t for t in x["tokens"] if t < tok.eot] == \
+               [t for t in y["tokens"] if t < tok.eot]
+        assert abs(x["start"] - y["start"]) < 1e-6
+        assert abs(x["end"] - y["end"]) < 1e-6
