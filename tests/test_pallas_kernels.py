@@ -399,7 +399,7 @@ def test_a8_matmul_integer_exact():
         at = requant_a8(q, tile_n=tile, depth=2)
         x = rng.standard_normal((m, k)).astype(np.float32)
         got = np.asarray(a8_matmul(jnp.asarray(x), at, interpret=True))
-        ref = _a8_emulate(x, np.asarray(at.codes), np.asarray(at.scale), n)
+        ref = _a8_emulate(x, np.asarray(at._codes_2d()), np.asarray(at.scale), n)
         np.testing.assert_allclose(got, ref, rtol=2e-5, atol=1e-5)
 
 
@@ -442,7 +442,7 @@ def test_a8_lead_dims_and_ragged_n():
     x = rng.standard_normal((2, 3, k)).astype(np.float32)
     got = np.asarray(a8_matmul(jnp.asarray(x), at, interpret=True))
     assert got.shape == (2, 3, n)
-    ref = _a8_emulate(x, np.asarray(at.codes), np.asarray(at.scale), n)
+    ref = _a8_emulate(x, np.asarray(at._codes_2d()), np.asarray(at.scale), n)
     np.testing.assert_allclose(got.reshape(6, n), ref, rtol=2e-5, atol=1e-5)
 
 
