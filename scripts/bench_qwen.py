@@ -202,6 +202,12 @@ def main():
         "batch": batch, "quant": quant,
         "prefill_tok_s": round(prefill_tok_s, 1),
     }
+    for flag, name in (("QB_A8", "a8"), ("QB_MBT", "mbt"),
+                       ("QB_NATIVE", "native")):
+        if os.environ.get(flag, "0") == "1":
+            line[name] = True
+    if os.environ.get("QB_A8", "0") == "1" and os.environ.get("WTPU_A8_MAX_N"):
+        line["a8_max_n"] = int(os.environ["WTPU_A8_MAX_N"])
     print(json.dumps(line))
     print(f"# model={model} batch={batch} quant={quant} steps={steps} "
           f"prompt={prompt} decode_best={best_d:.3f}s prefill_best={best_p:.3f}s "

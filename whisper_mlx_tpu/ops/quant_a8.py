@@ -23,9 +23,11 @@ per-token (dynamic symmetric, amax/127). Numerics: the int8 re-quant grid
 near-lossless; the A8 term is the standard dynamic-activation trade and
 is measured, not assumed (tests/test_quant.py::test_a8_*).
 
-Streamed bytes are 2× the packed-int4 kernels' — and still ~2× faster,
-because those kernels run at 150-300 GB/s (VPU-bound) while this one
-rides the DMA ring at the full HBM rate with the MXU idle-waiting.
+Streamed bytes are 2× the packed-int4 kernels' — and still much faster,
+because those kernels run VPU-bound while this one rides the DMA ring at
+~700-920 GB/s (dispatch-floor-corrected probes + e2e, r4) with the MXU
+idle-waiting. Measured e2e: qwen2.5-7b B=1 decode 52.2 → **84.9 tok/s**
+(scripts/bench_qwen.py QB_A8=1, vocab head packed via WTPU_A8_MAX_N).
 Qwen-7B fits easily (≈7.6 GiB); 32B does NOT fit int8 on one 16 GiB chip
 — that family stays on the packed-int4 kernels (or shards TP>1).
 
@@ -100,9 +102,10 @@ def requant_a8(q, tile_n: int = 512, depth: int = 4,
 
     ``contig`` pre-tiles the codes to (n_tiles, K, tile_n) so each ring
     slab DMA is ONE flat HBM block instead of K strided ``tile_n``-byte
-    bursts — with the VPU out of the loop the kernel is DMA-bound, and
-    burst length is what sets the stream rate (the strided layout measured
-    ~414 GB/s vs XLA's dense 780 at gate_up, r4).
+    bursts. (The r4 probe that motivated this also carried a ~150 µs/iter
+    dispatch-floor phantom — see docs/performance.md "Measurement
+    artifact"; corrected, both layouts stream near the HBM rate, and
+    contig stays the default for its per-call pad-free addressing.)
     """
     if hasattr(q, "dequantize"):
         w = q.dequantize(jnp.float32)  # (N, K)
@@ -185,11 +188,23 @@ def a8_matmul(x: jnp.ndarray, at: A8Tensor, interpret: bool = False) -> jnp.ndar
         n_tiles = Np // tile_n
     depth = min(depth, n_tiles)
 
+    import os
+
+    # The kernel keeps its (Mp, Np) f32 output (plus the ring scratch and
+    # the xq tile) resident in VMEM — fine for decode rows, fatal for
+    # prefill-sized calls against vocab-wide heads (M=128 × N=152k ≈ 78 MB
+    # → runtime VMEM exhaustion). Big-footprint calls take the dequant-GEMM
+    # path instead, mirroring the packed-kernel policy in ops/quant.py.
+    vmem_bytes = (Mp * Np * 4 + min(depth, n_tiles) * kp * tile_n
+                  + Mp * K + 4 * Np)
+    max_mb = float(os.environ.get("WTPU_A8_MAX_VMEM_MB", "48"))
+    if vmem_bytes > max_mb * 1e6:
+        return (x2 @ at.dequantize(dtype=x.dtype).T).reshape(
+            *lead, at.n_orig)
+
     xf = x2.astype(jnp.float32)
     sx = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True), 1e-8) / 127.0
     xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
-
-    import os
 
     if os.environ.get("WTPU_A8_XLA", "0") == "1":
         # pure-XLA lowering: let XLA stream the s8 codes itself (its dense
