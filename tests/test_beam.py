@@ -276,3 +276,31 @@ def test_beam_matches_host_reference_under_ties(tiny):
         expected = list(best_seq[sample_begin:-1])
         assert jit_results[w].tokens == expected, (
             f"tie window {w}: jit {jit_results[w].tokens} != host {expected}")
+
+
+def test_topk_flat_iterative_matches_lax_topk():
+    """The TPU iterative masked-argmax top-k must equal lax.top_k exactly —
+    values AND indices — including tie-heavy and -inf-masked rows (the
+    beam loop feeds -inf-masked candidate rows every step)."""
+    import numpy as np
+
+    from whisper_mlx_tpu.decoding import beam as beam_mod
+
+    rng = np.random.default_rng(7)
+    n, v, k = 6, 4096, 10
+    cand = rng.standard_normal((n, v)).astype(np.float32)
+    # tie-heavy: quantize to few levels; -inf rows: mask one row + one block
+    cand = np.round(cand * 2) / 2
+    cand[2, :] = -np.inf
+    cand[3, 100:] = -np.inf
+    cand[4, :5] = 3.25  # exact ties at the top
+    x = jnp.asarray(cand)
+
+    ref_s, ref_i = jax.lax.top_k(x, k)
+    beam_mod._FORCE_ITER = True
+    try:
+        it_s, it_i = beam_mod._topk_flat(x, k)
+    finally:
+        beam_mod._FORCE_ITER = False
+    assert jnp.all(ref_s == it_s), (ref_s, it_s)
+    assert jnp.all(ref_i == it_i), (ref_i, it_i)

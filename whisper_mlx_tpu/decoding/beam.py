@@ -55,6 +55,41 @@ from whisper_mlx_tpu.models.whisper import (
 
 NEG_INF = float("-inf")
 
+# test hook: forces the iterative branch on non-TPU backends
+_FORCE_ITER = False
+
+
+def _topk_flat(cand: jnp.ndarray, k: int):
+    """Exact top-k over the last axis, tie-break-identical to lax.top_k
+    (equal values surface in ascending flat index — argmax returns the
+    FIRST max, and masking it makes the next equal value the next pick).
+
+    On TPU, ``lax.top_k`` over the (N, B·V≈260k) beam candidate row lowers
+    to a sort and measured 1.62 ms/step; k rounds of masked argmax stream
+    the row k+? times at the HBM rate and measured 0.73 ms (r4 probe,
+    N=1000 scan, value+index equality asserted against lax.top_k). Other
+    backends keep lax.top_k (CPU argmax rounds are slower, parity is
+    dtype-exact either way)."""
+    if (jax.default_backend() != "tpu" or k > 16) and not _FORCE_ITER:
+        return jax.lax.top_k(cand, k)
+    # Argmax rounds run on a MONOTONE uint32 order-key, not the floats:
+    # picked entries are masked to key 0, which is strictly below every
+    # real key — masking the float with -inf cannot exclude entries that
+    # ARE -inf (beam rows start fully -inf-masked), and lax.top_k must be
+    # matched index-for-index there too. No NaNs reach this point (cand is
+    # cum_logprob + log_softmax of finite logits, -inf only from masking).
+    bits = jax.lax.bitcast_convert_type(cand.astype(jnp.float32), jnp.uint32)
+    neg = bits >= jnp.uint32(0x80000000)
+    work = jnp.where(neg, ~bits, bits | jnp.uint32(0x80000000))
+    iota = jax.lax.broadcasted_iota(jnp.int32, cand.shape, 1)
+    scores, idxs = [], []
+    for _ in range(k):
+        i = jnp.argmax(work, axis=-1).astype(jnp.int32)
+        scores.append(jnp.take_along_axis(cand, i[:, None], axis=-1)[:, 0])
+        idxs.append(i)
+        work = jnp.where(iota == i[:, None], jnp.uint32(0), work)
+    return jnp.stack(scores, axis=-1), jnp.stack(idxs, axis=-1)
+
 
 class BeamResult(NamedTuple):
     tokens: jnp.ndarray  # (N, P, ctx) finished hypotheses (EOT-terminated)
@@ -196,7 +231,7 @@ def beam_decode(
         )  # (N*B, V)
         logprobs = jax.nn.log_softmax(logits, axis=-1).reshape(N, B, V)
         cand = s.cum_logprob[:, :, None] + logprobs  # (N, B, V)
-        top_scores, top_idx = jax.lax.top_k(cand.reshape(N, B * V), K)  # (N, K)
+        top_scores, top_idx = _topk_flat(cand.reshape(N, B * V), K)  # (N, K)
         parent = top_idx // V  # (N, K) source beam
         token = (top_idx % V).astype(jnp.int32)  # (N, K)
 
