@@ -137,6 +137,69 @@ def main():
         timeit("decode_plain", lambda: run(params, audio), lambda o: o,
                note=f"{NB} lanes, plain self-attn")
 
+    # ---- the REAL loop layout: lane-interleaved FLAT cache + ancestry ----
+    # (decode_anc above exercises the superseded 5-D grouped form; the
+    # production loop converts to the flat layout — decoding/beam.py)
+    if want("decode_flat"):
+        @jax.jit
+        def run_flat(params, audio):
+            xkv = cross_kv(params, audio, cfg)
+            cache = init_kv_cache(cfg, NB, max_len=n_init + STEPS)
+            t_alloc = (cache[0]["k8t"].shape[3] if "k8t" in cache[0]
+                       else cache[0]["k"].shape[2])
+            init = jnp.full((NB, n_init), 7, jnp.int32)
+            logits, cache, _ = decode_step(params, init, jnp.int32(0), cache,
+                                           xkv, cfg, share_xkv_groups=B)
+            logits = logits[:, -1:]
+
+            def _to_flat(entry):  # mirror of decoding/beam.py
+                if "k8t" in entry:
+                    def flat_kv(a):
+                        nb, hh, dd, tt = a.shape
+                        return (a.reshape(N, B, hh, dd, tt)
+                                .transpose(0, 2, 3, 4, 1)
+                                .reshape(N, hh, dd, tt * B))
+
+                    def flat_s(s):
+                        nb, hh, tt, _ = s.shape
+                        return (s[..., 0].reshape(N, B, hh, tt)
+                                .transpose(0, 2, 3, 1)
+                                .reshape(N, hh, tt * B)[..., None])
+
+                    return {"k8f": flat_kv(entry["k8t"]),
+                            "ksf": flat_s(entry["ks"]),
+                            "v8f": flat_kv(entry["v8t"]),
+                            "vsf": flat_s(entry["vs"])}
+
+                def flat_fp(a):
+                    nb, hh, tt, dd = a.shape
+                    return (a.reshape(N, B, hh, tt, dd)
+                            .transpose(0, 2, 3, 1, 4)
+                            .reshape(N, hh, tt * B, dd))
+
+                return {"kf": flat_fp(entry["k"]), "vf": flat_fp(entry["v"])}
+
+            cache = [_to_flat(e) for e in cache]
+            anc = jnp.tile(
+                jnp.tile(jnp.arange(B, dtype=jnp.int32), (N,))[:, None],
+                (1, t_alloc))
+
+            def step(carry, _):
+                logits, cache, pos = carry
+                tok = jnp.argmax(logits[:, -1, :512], axis=-1).astype(jnp.int32)
+                logits, cache, _ = decode_step(
+                    params, tok[:, None], pos, cache, xkv, cfg,
+                    share_xkv_groups=B, beam_ancestry=anc)
+                return (logits, cache, pos + 1), None
+
+            (logits, _, _), _ = jax.lax.scan(
+                step, (logits, cache, jnp.int32(n_init)), None, length=STEPS)
+            return logits[0, 0, :8]
+
+        timeit("decode_flat", lambda: run_flat(params, audio), lambda o: o,
+               note=f"{NB} lanes, lane-interleaved FLAT self-attn "
+                    "(the real loop layout)")
+
     # ---- selection machinery isolate (no model) ----
     K = 2 * B
     n_ctx = cfg.n_text_ctx

@@ -304,3 +304,42 @@ def test_topk_flat_iterative_matches_lax_topk():
         beam_mod._FORCE_ITER = False
     assert jnp.all(ref_s == it_s), (ref_s, it_s)
     assert jnp.all(ref_i == it_i), (ref_i, it_i)
+
+
+def test_beam_phase_ladder_exact(tiny):
+    """The growing-cache phase ladder (phases=(16,)) must produce results
+    BIT-identical to the single-phase loop — the ladder only changes the
+    self-KV allocation trajectory, never the math (greedy has the same
+    invariant; beam additionally grows the ancestry matrix)."""
+    from whisper_mlx_tpu.decoding.beam import beam_decode
+
+    params, config, tok, mel = tiny
+    states = encode(params, mel, config)
+    opts = DecodingOptions(sample_len=50, beam_size=3)
+    init_tokens, sot_index, sample_begin = build_initial_tokens(
+        tok, opts, config.n_text_ctx)
+    suppress_ids = _resolve_suppress(opts, tok)
+    blank_ids = tuple(tok.encode(" ")) + (tok.eot,)
+    always, begin = make_suppress_mask(config.n_vocab, suppress_ids, blank_ids)
+    fc = FilterConfig(
+        eot=tok.eot, no_timestamps=tok.no_timestamps,
+        timestamp_begin=tok.timestamp_begin, sample_begin=sample_begin,
+        max_initial_timestamp_index=None, apply_timestamp_rules=False)
+
+    def run(phases):
+        return beam_decode(
+            params, states,
+            jnp.tile(jnp.asarray(init_tokens, jnp.int32)[None, :], (2, 1)),
+            jnp.asarray(always), jnp.asarray(begin),
+            config=config, filter_cfg=fc, sample_len=50,
+            sot_index=sot_index, no_speech_token=tok.no_speech,
+            beam_size=3, pool_size=3, phases=phases,
+        )
+
+    flat = run(())          # single loop, full allocation
+    laddered = run((16,))   # 16-slot phase then full
+    assert np.array_equal(np.asarray(flat.tokens), np.asarray(laddered.tokens))
+    assert np.array_equal(np.asarray(flat.lengths), np.asarray(laddered.lengths))
+    assert np.array_equal(np.asarray(flat.fin_count), np.asarray(laddered.fin_count))
+    np.testing.assert_array_equal(
+        np.asarray(flat.scores), np.asarray(laddered.scores))

@@ -102,7 +102,7 @@ class BeamResult(NamedTuple):
 @partial(
     jax.jit,
     static_argnames=("config", "filter_cfg", "sample_len", "sot_index",
-                     "beam_size", "pool_size"),
+                     "beam_size", "pool_size", "phases"),
 )
 def beam_decode(
     params: Params,
@@ -117,6 +117,7 @@ def beam_decode(
     no_speech_token: int,
     beam_size: int,
     pool_size: int,
+    phases: "tuple[int, ...] | None" = None,
 ) -> BeamResult:
     N, n_init = initial_tokens.shape
     B, P = beam_size, pool_size
@@ -136,7 +137,19 @@ def beam_decode(
         import dataclasses
 
         config = dataclasses.replace(config, self_kv_layout="tminor")
-    cache = init_kv_cache(config, NB, max_len=n_init + sample_len)
+    # growing-cache phase ladder (same rationale/eligibility as
+    # decoding/greedy.py): every step re-reads the WHOLE self-KV
+    # allocation, so early steps must not stream dead tail positions.
+    # tminor rounds T to 128-lane tiles — one boundary at 128 is all that
+    # helps at a 224-step horizon (reads avg T≈184 instead of 256).
+    horizon = n_init + sample_len
+    if phases is None:
+        phases = (128,)
+    phase_bounds = [b for b in sorted(set(phases))
+                    if n_init + 1 < b and horizon > b + 32]
+    cache = init_kv_cache(
+        config, NB,
+        max_len=phase_bounds[0] if phase_bounds else horizon)
     t_alloc = (cache[0]["k8t"].shape[3] if "k8t" in cache[0]
                else cache[0]["k"].shape[2])
     # indirection-addressed cache (VERDICT r2 item 3): the cache is NEVER
@@ -313,7 +326,37 @@ def beam_decode(
             fin_count=fin_count,
         )
 
-    final = jax.lax.while_loop(cond, body, state)
+    def run_loop(s: State, bound: int) -> State:
+        def condb(st: State):
+            return cond(st) & (st.cur_len < bound)
+        return jax.lax.while_loop(condb, body, s)
+
+    # The loop cache is the lane-interleaved FLAT layout (column t·B+k of
+    # the T·B axis = lane k's position t), so growing T pads the SAME axis
+    # at the end — every old column keeps its meaning in the bigger buffer.
+    t_axis_flat = {"k8f": 3, "v8f": 3, "ksf": 2, "vsf": 2, "kf": 2, "vf": 2}
+    for i, pb in enumerate(phase_bounds):
+        mid = run_loop(state, min(pb, max_len))
+        nxt = phase_bounds[i + 1] if i + 1 < len(phase_bounds) else horizon
+        # 1-row probe just to inherit init_kv_cache's T rounding rules
+        probe = init_kv_cache(config, 1, max_len=nxt)
+        t_next = (probe[0]["k8t"].shape[3] if "k8t" in probe[0]
+                  else probe[0]["k"].shape[2])
+
+        def grow(a, axis, t_next=t_next):
+            shp = list(a.shape)
+            shp[axis] = t_next * B
+            return jax.lax.dynamic_update_slice_in_dim(
+                jnp.zeros(shp, a.dtype), a, 0, axis=axis)
+
+        grown = [{k: grow(v, t_axis_flat[k]) for k, v in entry.items()}
+                 for entry in mid.cache]
+        # new tail positions: own-lane ancestry, same as anc0 (they are
+        # causally masked until this lane itself writes them)
+        anc_grown = jnp.tile(own_lane[:, None], (1, t_next))
+        anc_grown = jax.lax.dynamic_update_slice(anc_grown, mid.anc, (0, 0))
+        state = mid._replace(cache=grown, anc=anc_grown)
+    final = run_loop(state, max_len)
 
     # windows with an underfull pool: back-fill from the best live beams
     # (reference finalize adds unfinished hypotheses when finished < beam)
@@ -402,13 +445,20 @@ def beam_decode_task(
         apply_timestamp_rules=not options.without_timestamps,
     )
 
+    import os
+
+    raw_phases = os.environ.get("WTPU_BEAM_PHASES")
+    phases: tuple[int, ...] | None = None  # beam_decode default (128,)
+    if raw_phases is not None:  # "" disables, "64,128" overrides
+        phases = tuple(int(p) for p in raw_phases.split(",") if p.strip())
+
     result = beam_decode(
         params, audio_states,
         jnp.tile(jnp.asarray(init_tokens, jnp.int32)[None, :], (N, 1)),
         jnp.asarray(always_np), jnp.asarray(begin_np),
         config=config, filter_cfg=filter_cfg, sample_len=sample_len,
         sot_index=sot_index, no_speech_token=tokenizer.no_speech,
-        beam_size=B, pool_size=P,
+        beam_size=B, pool_size=P, phases=phases,
     )
 
     tokens_np = np.asarray(result.tokens)
