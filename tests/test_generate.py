@@ -185,3 +185,37 @@ def test_quantized_mbt_resident_matches_packed(monkeypatch):
     assert any(isinstance(x, QuantTensorT) for x in leaves)
     out = eng.generate("abc", max_tokens=10, temperature=0.0)
     assert out.text == ref.text
+
+
+def test_quantized_a8_matches_packed(monkeypatch):
+    """Quantized engine with the W8A8 serving opt-in (WTPU_QWEN_A8=1,
+    ops/quant_a8): linears are re-quantized to per-channel-int8 A8Tensor
+    at load and generate() must emit the same tokens as the packed engine
+    (off-TPU the dispatch dequant-falls-back; on-TPU the a8 kernel is the
+    84.9 tok/s r4 path, parity-tested in test_pallas_kernels)."""
+    from whisper_mlx_tpu.ops.quant import quantize_params
+    from whisper_mlx_tpu.ops.quant_a8 import A8Tensor
+
+    tok = ByteFallbackTokenizer()
+    config = QwenConfig(
+        vocab_size=tok.vocab_size, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        rope_theta=10_000.0, tie_word_embeddings=True, attention_bias=True,
+        dtype=jnp.float32,
+    )
+    params = init_params(config, seed=0)
+    qlayers = quantize_params(
+        {"encoder": {"layers": params["layers"]}, "decoder": {}},
+        bits=4, group_size=64)["encoder"]["layers"]
+    packed = LLMEngine(dict(params, layers=qlayers), config, tok,
+                       max_context=256)
+    ref = packed.generate("abc", max_tokens=10, temperature=0.0)
+
+    monkeypatch.setenv("WTPU_QWEN_A8", "1")
+    eng = LLMEngine(dict(params, layers=qlayers), config, tok,
+                    max_context=256)
+    leaves = jax.tree_util.tree_leaves(
+        eng.params, is_leaf=lambda n: isinstance(n, A8Tensor))
+    assert any(isinstance(x, A8Tensor) for x in leaves)
+    out = eng.generate("abc", max_tokens=10, temperature=0.0)
+    assert out.text == ref.text
