@@ -410,5 +410,93 @@ if os.environ.get("PROF_ANCVAR"):
     main = ancvar_main
 
 
+def perm_main():
+    """PROF_PERM=gather|onehot: plain per-lane cache + per-step PHYSICAL
+    lane permutation (classic beam reorder), measuring two lowerings of the
+    permute against decode_plain's floor:
+
+      gather — jnp.take over the lane axis (what r2 measured as 'well
+               below copy bandwidth'; re-measured here at current shapes)
+      onehot — (N, B, B) one-hot matmul on the MXU: bf16 for int8 codes
+               (values ≤ |127| exact in bf16), f32 for scales.
+
+    The permutation is data-dependent (derived from the fed-back token) so
+    XLA cannot constant-fold it, and non-identity every step (worst case).
+    """
+    mode = os.environ["PROF_PERM"]
+    cfg = dataclasses.replace(WHISPER_CONFIGS["large-v3"],
+                              flash_attention=True, kv_bits=KV,
+                              self_kv_bits=SELF_KV)
+    NB = N * B
+    n_init = 3
+    key = jax.random.PRNGKey(0)
+    params = init_params(cfg, seed=0, dtype=jnp.bfloat16)
+    audio = jax.random.normal(key, (N, 1500, cfg.n_audio_state), jnp.bfloat16)
+
+    def permute_entry(a, oh_b, flat_parent):
+        """Permute lanes of a (NB, ...) cache tensor within B-sized groups."""
+        if mode == "gather":
+            return jnp.take(a, flat_parent, axis=0)
+        nb = a.shape[0]
+        rest = a.shape[1:]
+        x = a.reshape(N, B, -1)
+        if a.dtype in (jnp.int8, jnp.int4):
+            out = jnp.einsum("nbk,nkx->nbx", oh_b.astype(jnp.bfloat16),
+                             x.astype(jnp.bfloat16))
+            return out.astype(a.dtype).reshape(nb, *rest)
+        out = jnp.einsum("nbk,nkx->nbx", oh_b.astype(x.dtype), x)
+        return out.reshape(nb, *rest)
+
+    def permute_tree(cache, oh_b, flat_parent):
+        if mode == "pallas":
+            from whisper_mlx_tpu.ops.lane_permute import permute_lanes
+            out = []
+            for e in cache:
+                keys = sorted(e)
+                outs = permute_lanes([e[k] for k in keys], flat_parent)
+                out.append(dict(zip(keys, outs)))
+            return out
+        return [{k: permute_entry(v, oh_b, flat_parent)
+                 for k, v in e.items()} for e in cache]
+
+    @jax.jit
+    def run(params, audio):
+        xkv = cross_kv(params, audio, cfg)
+        cache = init_kv_cache(cfg, NB, max_len=n_init + STEPS)
+        init = jnp.full((NB, n_init), 7, jnp.int32)
+        logits, cache, _ = decode_step(params, init, jnp.int32(0), cache,
+                                       xkv, cfg, share_xkv_groups=B)
+        logits = logits[:, -1:]
+
+        def step(carry, _):
+            logits, cache, pos = carry
+            tok = jnp.argmax(logits[:, -1, :512], axis=-1).astype(jnp.int32)
+            # data-dependent rotation: parent[b] = (b + 1 + tok[w*B]%2) % B
+            shift = (tok.reshape(N, B)[:, 0] % 2)[:, None]
+            parent = (jnp.arange(B, dtype=jnp.int32)[None, :] + 1 + shift) % B
+            oh_b = jax.nn.one_hot(parent, B, dtype=jnp.float32)  # (N, B, B)
+            flat_parent = (parent + jnp.arange(N)[:, None] * B).reshape(-1)
+            cache = permute_tree(cache, oh_b, flat_parent)
+            logits, cache, _ = decode_step(
+                params, tok[:, None], pos, cache, xkv, cfg,
+                share_xkv_groups=B)
+            return (logits, cache, pos + 1), None
+
+        (logits, _, _), _ = jax.lax.scan(
+            step, (logits, cache, jnp.int32(n_init)), None, length=STEPS)
+        return logits[0, 0, :8]
+
+    global results
+    results = []
+    timeit(f"decode_perm_{mode}", lambda: run(params, audio), lambda o: o,
+           note=f"{NB} lanes, plain self-attn + per-step {mode} permute")
+    print(json.dumps({"perm": results, "n": N, "beam": B,
+                      "kv": KV, "self_kv": SELF_KV}))
+
+
+if os.environ.get("PROF_PERM"):
+    main = perm_main
+
+
 if __name__ == "__main__":
     main()

@@ -343,3 +343,56 @@ def test_beam_phase_ladder_exact(tiny):
     assert np.array_equal(np.asarray(flat.fin_count), np.asarray(laddered.fin_count))
     np.testing.assert_array_equal(
         np.asarray(flat.scores), np.asarray(laddered.scores))
+
+def test_beam_kv_scheme_parity(tiny):
+    """flat (ancestry indirection), perm (one-hot MXU physical reorder) and
+    permg (gather reorder) are three lowerings of the same beam math — the
+    decoded tokens must be identical across schemes and self-KV dtypes, and
+    perm/permg (identical attention path, different permute lowering) must
+    agree bit-for-bit on scores."""
+    import dataclasses
+
+    from whisper_mlx_tpu.decoding.beam import beam_decode
+
+    params, config, tok, mel = tiny
+    opts = DecodingOptions(sample_len=40, beam_size=3)
+    init_tokens, sot_index, sample_begin = build_initial_tokens(
+        tok, opts, config.n_text_ctx)
+    suppress_ids = _resolve_suppress(opts, tok)
+    blank_ids = tuple(tok.encode(" ")) + (tok.eot,)
+    always, begin = make_suppress_mask(config.n_vocab, suppress_ids, blank_ids)
+    fc = FilterConfig(
+        eot=tok.eot, no_timestamps=tok.no_timestamps,
+        timestamp_begin=tok.timestamp_begin, sample_begin=sample_begin,
+        max_initial_timestamp_index=None, apply_timestamp_rules=False)
+
+    for self_bits in (0, 8, 4):
+        cfg = dataclasses.replace(config, self_kv_bits=self_bits)
+        states = encode(params, mel, cfg)
+
+        def run(scheme, cfg=cfg, states=states):
+            return beam_decode(
+                params, states,
+                jnp.tile(jnp.asarray(init_tokens, jnp.int32)[None, :], (2, 1)),
+                jnp.asarray(always), jnp.asarray(begin),
+                config=cfg, filter_cfg=fc, sample_len=40,
+                sot_index=sot_index, no_speech_token=tok.no_speech,
+                beam_size=3, pool_size=3, phases=(16,), kv_scheme=scheme,
+            )
+
+        flat, perm, permg = run("flat"), run("perm"), run("permg")
+        permp = run("permp")  # Pallas DMA lowering (interpret on CPU)
+        for other, name in ((perm, "perm"), (permg, "permg"),
+                            (permp, "permp")):
+            assert np.array_equal(np.asarray(flat.tokens),
+                                  np.asarray(other.tokens)), \
+                f"{name} tokens diverge from flat (self_kv_bits={self_bits})"
+            assert np.array_equal(np.asarray(flat.lengths),
+                                  np.asarray(other.lengths))
+            assert np.array_equal(np.asarray(flat.fin_count),
+                                  np.asarray(other.fin_count))
+            np.testing.assert_allclose(
+                np.asarray(flat.scores), np.asarray(other.scores),
+                rtol=2e-5, atol=1e-5)
+        np.testing.assert_array_equal(
+            np.asarray(perm.scores), np.asarray(permg.scores))

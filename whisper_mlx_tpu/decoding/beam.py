@@ -102,7 +102,7 @@ class BeamResult(NamedTuple):
 @partial(
     jax.jit,
     static_argnames=("config", "filter_cfg", "sample_len", "sot_index",
-                     "beam_size", "pool_size", "phases"),
+                     "beam_size", "pool_size", "phases", "kv_scheme"),
 )
 def beam_decode(
     params: Params,
@@ -118,6 +118,7 @@ def beam_decode(
     beam_size: int,
     pool_size: int,
     phases: "tuple[int, ...] | None" = None,
+    kv_scheme: str = "flat",
 ) -> BeamResult:
     N, n_init = initial_tokens.shape
     B, P = beam_size, pool_size
@@ -161,6 +162,45 @@ def beam_decode(
     own_lane = jnp.tile(jnp.arange(B, dtype=jnp.int32), (N,))  # (NB,)
     anc0 = jnp.tile(own_lane[:, None], (1, t_alloc))  # prefill rows are own
 
+    if kv_scheme not in ("flat", "perm", "permg", "permp"):
+        raise ValueError(f"unknown beam kv_scheme {kv_scheme!r}")
+
+    def _permute_lanes(a, oh, flat_parent):
+        """Physically reorder lanes of a (NB, ...) cache tensor within each
+        window's B-lane group by the parent map (classic beam reorder).
+
+        ``perm`` lowers it as a (N, B, B) one-hot matmul on the MXU — bf16
+        for int8/int4 codes (|code| ≤ 127 is exact in bf16 and exactly one
+        term of the contraction is nonzero, so the round-trip is lossless).
+        ``permg`` is XLA's gather. Both measured far below copy bandwidth
+        (scripts/profile_beam.py PROF_PERM) — ``permp`` (the Pallas DMA
+        kernel, handled by the caller) is the production lowering."""
+        if kv_scheme == "permg":
+            return jnp.take(a, flat_parent, axis=0)
+        x = a.reshape(N, B, -1)
+        if a.dtype in (jnp.int8, jnp.int4):
+            out = jnp.einsum("nbk,nkx->nbx", oh.astype(jnp.bfloat16),
+                             x.astype(jnp.bfloat16))
+        else:
+            out = jnp.einsum("nbk,nkx->nbx", oh.astype(x.dtype), x)
+        return out.astype(a.dtype).reshape(a.shape)
+
+    _pallas_interpret = jax.default_backend() != "tpu"
+
+    def _permute_entry(e, oh, flat_parent):
+        """Permute one layer's cache entry (dict of (NB, ...) tensors)."""
+        if kv_scheme == "permp" and not any(
+                v.dtype == jnp.int4 for v in e.values()):
+            from whisper_mlx_tpu.ops.lane_permute import permute_lanes
+
+            keys = sorted(e)
+            outs = permute_lanes([e[k] for k in keys], flat_parent,
+                                 interpret=_pallas_interpret)
+            return dict(zip(keys, outs))
+        # int4 blocks fall back to the one-hot matmul (Mosaic has no s4
+        # block DMA); int4 self-KV is opt-in (docs/kv_quant_study.md)
+        return {k: _permute_lanes(v, oh, flat_parent) for k, v in e.items()}
+
     init_flat = jnp.repeat(initial_tokens, B, axis=0)
     logits_all, cache, _ = decode_step(params, init_flat, jnp.int32(0), cache,
                                        xkv, config, share_xkv_groups=B)
@@ -194,7 +234,12 @@ def beam_decode(
 
         return {"kf": flat_fp(entry["k"]), "vf": flat_fp(entry["v"])}
 
-    cache = [_to_flat(e) for e in cache]
+    if kv_scheme == "flat":
+        cache = [_to_flat(e) for e in cache]
+    else:
+        # perm/permg keep the plain per-lane (greedy) layout; ancestry is
+        # unused (the cache itself is physically reordered every step).
+        anc0 = jnp.zeros((1, 1), jnp.int32)
     no_speech_probs = jax.nn.softmax(
         logits_all[::B, sot_index].astype(jnp.float32), axis=-1
     )[:, no_speech_token]
@@ -303,16 +348,27 @@ def beam_decode(
         tokens = jax.lax.dynamic_update_slice(
             tokens, new_token.reshape(-1, 1), (0, s.cur_len)
         )
-        # ancestry reorder (tiny (NB, T) int32 gather) replaces the old
-        # whole-cache gather; the new token's K/V will be written by this
-        # lane itself at cur_len
-        anc = s.anc[flat_parent]
-        anc = jax.lax.dynamic_update_slice(anc, own_lane[:, None], (0, s.cur_len))
-
-        step_logits, cache_new, _ = decode_step(
-            params, new_token.reshape(-1, 1), s.cur_len, s.cache, xkv, config,
-            share_xkv_groups=B, beam_ancestry=anc,
-        )
+        if kv_scheme == "flat":
+            # ancestry reorder (tiny (NB, T) int32 gather) replaces the old
+            # whole-cache gather; the new token's K/V will be written by this
+            # lane itself at cur_len
+            anc = s.anc[flat_parent]
+            anc = jax.lax.dynamic_update_slice(
+                anc, own_lane[:, None], (0, s.cur_len))
+            step_logits, cache_new, _ = decode_step(
+                params, new_token.reshape(-1, 1), s.cur_len, s.cache, xkv,
+                config, share_xkv_groups=B, beam_ancestry=anc,
+            )
+        else:
+            # physical lane permute (exactly the gathered classic beam);
+            # the new token's K/V is then written by each lane at cur_len
+            anc = s.anc
+            oh = jax.nn.one_hot(new_parent, B, dtype=jnp.float32)  # (N,B,B)
+            cache_in = [_permute_entry(e, oh, flat_parent) for e in s.cache]
+            step_logits, cache_new, _ = decode_step(
+                params, new_token.reshape(-1, 1), s.cur_len, cache_in, xkv,
+                config, share_xkv_groups=B,
+            )
         return State(
             tokens=tokens,
             cum_logprob=new_cum,
@@ -331,10 +387,13 @@ def beam_decode(
             return cond(st) & (st.cur_len < bound)
         return jax.lax.while_loop(condb, body, s)
 
-    # The loop cache is the lane-interleaved FLAT layout (column t·B+k of
-    # the T·B axis = lane k's position t), so growing T pads the SAME axis
-    # at the end — every old column keeps its meaning in the bigger buffer.
-    t_axis_flat = {"k8f": 3, "v8f": 3, "ksf": 2, "vsf": 2, "kf": 2, "vf": 2}
+    # The loop cache is either the lane-interleaved FLAT layout (column
+    # t·B+k of the T·B axis = lane k's position t) or, for perm/permg, the
+    # plain per-lane layout; in both, growing T pads the SAME axis at the
+    # end — every old column keeps its meaning in the bigger buffer.
+    t_axis_flat = {"k8f": 3, "v8f": 3, "ksf": 2, "vsf": 2, "kf": 2, "vf": 2,
+                   "k8t": 3, "v8t": 3, "ks": 2, "vs": 2, "k": 2, "v": 2}
+    lane_mult = B if kv_scheme == "flat" else 1
     for i, pb in enumerate(phase_bounds):
         mid = run_loop(state, min(pb, max_len))
         nxt = phase_bounds[i + 1] if i + 1 < len(phase_bounds) else horizon
@@ -345,16 +404,20 @@ def beam_decode(
 
         def grow(a, axis, t_next=t_next):
             shp = list(a.shape)
-            shp[axis] = t_next * B
+            shp[axis] = t_next * lane_mult
             return jax.lax.dynamic_update_slice_in_dim(
                 jnp.zeros(shp, a.dtype), a, 0, axis=axis)
 
         grown = [{k: grow(v, t_axis_flat[k]) for k, v in entry.items()}
                  for entry in mid.cache]
-        # new tail positions: own-lane ancestry, same as anc0 (they are
-        # causally masked until this lane itself writes them)
-        anc_grown = jnp.tile(own_lane[:, None], (1, t_next))
-        anc_grown = jax.lax.dynamic_update_slice(anc_grown, mid.anc, (0, 0))
+        if kv_scheme == "flat":
+            # new tail positions: own-lane ancestry, same as anc0 (they are
+            # causally masked until this lane itself writes them)
+            anc_grown = jnp.tile(own_lane[:, None], (1, t_next))
+            anc_grown = jax.lax.dynamic_update_slice(
+                anc_grown, mid.anc, (0, 0))
+        else:
+            anc_grown = mid.anc
         state = mid._replace(cache=grown, anc=anc_grown)
     final = run_loop(state, max_len)
 
@@ -451,6 +514,9 @@ def beam_decode_task(
     phases: tuple[int, ...] | None = None  # beam_decode default (128,)
     if raw_phases is not None:  # "" disables, "64,128" overrides
         phases = tuple(int(p) for p in raw_phases.split(",") if p.strip())
+    # self-KV scheme: flat (ancestry indirection) | perm (one-hot MXU
+    # physical reorder) | permg (gather reorder); see beam_decode.
+    kv_scheme = os.environ.get("WTPU_BEAM_KV", "flat")
 
     result = beam_decode(
         params, audio_states,
@@ -458,7 +524,7 @@ def beam_decode_task(
         jnp.asarray(always_np), jnp.asarray(begin_np),
         config=config, filter_cfg=filter_cfg, sample_len=sample_len,
         sot_index=sot_index, no_speech_token=tokenizer.no_speech,
-        beam_size=B, pool_size=P, phases=phases,
+        beam_size=B, pool_size=P, phases=phases, kv_scheme=kv_scheme,
     )
 
     tokens_np = np.asarray(result.tokens)
