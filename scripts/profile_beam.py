@@ -448,12 +448,16 @@ def perm_main():
         return out.reshape(nb, *rest)
 
     def permute_tree(cache, oh_b, flat_parent):
-        if mode == "pallas":
-            from whisper_mlx_tpu.ops.lane_permute import permute_lanes
+        if mode in ("pallas", "inplace"):
+            from whisper_mlx_tpu.ops.lane_permute import (
+                lane_move_inplace,
+                permute_lanes,
+            )
+            fn = lane_move_inplace if mode == "inplace" else permute_lanes
             out = []
             for e in cache:
                 keys = sorted(e)
-                outs = permute_lanes([e[k] for k in keys], flat_parent)
+                outs = fn([e[k] for k in keys], flat_parent)
                 out.append(dict(zip(keys, outs)))
             return out
         return [{k: permute_entry(v, oh_b, flat_parent)
@@ -468,15 +472,38 @@ def perm_main():
                                        xkv, cfg, share_xkv_groups=B)
         logits = logits[:, -1:]
 
+        variant = os.environ.get("PROF_PERM_VARIANT", "dep")
+
         def step(carry, _):
             logits, cache, pos = carry
             tok = jnp.argmax(logits[:, -1, :512], axis=-1).astype(jnp.int32)
             # data-dependent rotation: parent[b] = (b + 1 + tok[w*B]%2) % B
             shift = (tok.reshape(N, B)[:, 0] % 2)[:, None]
-            parent = (jnp.arange(B, dtype=jnp.int32)[None, :] + 1 + shift) % B
+            iota_b = jnp.arange(B, dtype=jnp.int32)[None, :]
+            parent = (iota_b + 1 + shift) % B
+            if mode == "inplace":
+                # fixed-point-source pattern (the kernel's precondition):
+                # lanes 0..B-3 keep their rows; the last two copy from
+                # data-dependent low lanes (~40% of rows move — a realistic
+                # beam-divergence rate)
+                parent = jnp.where(iota_b < B - 2, iota_b,
+                                   (iota_b + shift) % (B - 2))
             oh_b = jax.nn.one_hot(parent, B, dtype=jnp.float32)  # (N, B, B)
             flat_parent = (parent + jnp.arange(N)[:, None] * B).reshape(-1)
+            if variant == "indep":
+                # cost isolate: permute is carried but decode reads the OLD
+                # cache and its dus'd updates are discarded — measures
+                # decode + permute COEXISTING without a data dependence
+                cache_perm = permute_tree(cache, oh_b, flat_parent)
+                logits, _, _ = decode_step(
+                    params, tok[:, None], pos, cache, xkv, cfg,
+                    share_xkv_groups=B)
+                return (logits, cache_perm, pos + 1), None
             cache = permute_tree(cache, oh_b, flat_parent)
+            if variant == "barrier":
+                # force a materialization boundary so XLA cannot fuse the
+                # permute into the attention reads / dus operands
+                cache = jax.lax.optimization_barrier(cache)
             logits, cache, _ = decode_step(
                 params, tok[:, None], pos, cache, xkv, cfg,
                 share_xkv_groups=B)

@@ -382,8 +382,9 @@ def test_beam_kv_scheme_parity(tiny):
 
         flat, perm, permg = run("flat"), run("perm"), run("permg")
         permp = run("permp")  # Pallas DMA lowering (interpret on CPU)
+        permi = run("permi")  # copy-on-divergence lane bookkeeping
         for other, name in ((perm, "perm"), (permg, "permg"),
-                            (permp, "permp")):
+                            (permp, "permp"), (permi, "permi")):
             assert np.array_equal(np.asarray(flat.tokens),
                                   np.asarray(other.tokens)), \
                 f"{name} tokens diverge from flat (self_kv_bits={self_bits})"

@@ -162,7 +162,7 @@ def beam_decode(
     own_lane = jnp.tile(jnp.arange(B, dtype=jnp.int32), (N,))  # (NB,)
     anc0 = jnp.tile(own_lane[:, None], (1, t_alloc))  # prefill rows are own
 
-    if kv_scheme not in ("flat", "perm", "permg", "permp"):
+    if kv_scheme not in ("flat", "perm", "permg", "permp", "permi"):
         raise ValueError(f"unknown beam kv_scheme {kv_scheme!r}")
 
     def _permute_lanes(a, oh, flat_parent):
@@ -186,6 +186,20 @@ def beam_decode(
         return out.astype(a.dtype).reshape(a.shape)
 
     _pallas_interpret = jax.default_backend() != "tpu"
+
+    def _move_entry(e, src, src_flat):
+        """permi: in-place copy-on-divergence row moves for one layer."""
+        if not any(v.dtype == jnp.int4 for v in e.values()):
+            from whisper_mlx_tpu.ops.lane_permute import lane_move_inplace
+
+            keys = sorted(e)
+            outs = lane_move_inplace([e[k] for k in keys], src_flat,
+                                     interpret=_pallas_interpret)
+            return dict(zip(keys, outs))
+        # int4 fallback: src is still a lane map — apply it as a one-hot
+        # matmul (no s4 block DMA in Mosaic)
+        oh_src = jax.nn.one_hot(src, B, dtype=jnp.float32)
+        return {k: _permute_lanes(v, oh_src, src_flat) for k, v in e.items()}
 
     def _permute_entry(e, oh, flat_parent):
         """Permute one layer's cache entry (dict of (NB, ...) tensors)."""
@@ -236,9 +250,14 @@ def beam_decode(
 
     if kv_scheme == "flat":
         cache = [_to_flat(e) for e in cache]
+    elif kv_scheme == "permi":
+        # copy-on-divergence: plain per-lane layout; the carried (N, B)
+        # matrix maps logical beam j -> the LANE holding its cache row
+        # (rows stay put unless a parent spawns extra children)
+        anc0 = jnp.tile(jnp.arange(B, dtype=jnp.int32)[None, :], (N, 1))
     else:
-        # perm/permg keep the plain per-lane (greedy) layout; ancestry is
-        # unused (the cache itself is physically reordered every step).
+        # perm/permg/permp keep the plain per-lane (greedy) layout;
+        # ancestry is unused (the cache is physically reordered each step).
         anc0 = jnp.zeros((1, 1), jnp.int32)
     no_speech_probs = jax.nn.softmax(
         logits_all[::B, sot_index].astype(jnp.float32), axis=-1
@@ -284,8 +303,16 @@ def beam_decode(
         return (s.cur_len < max_len) & ~jnp.all(s.fin_count >= P)
 
     def body(s: State) -> State:
+        if kv_scheme == "permi":
+            # decode_step returns LANE-ordered logits; selection runs in
+            # LOGICAL beam order (tie-breaks identical to the host
+            # reference), so gather rows by the logical->lane map
+            flat_lane = (s.anc + jnp.arange(N)[:, None] * B).reshape(-1)
+            logits_in = s.logits[flat_lane]
+        else:
+            logits_in = s.logits
         logits = apply_filters(
-            s.logits, s.tokens, s.cur_len, suppress_mask, blank_mask, filter_cfg
+            logits_in, s.tokens, s.cur_len, suppress_mask, blank_mask, filter_cfg
         )  # (N*B, V)
         logprobs = jax.nn.log_softmax(logits, axis=-1).reshape(N, B, V)
         cand = s.cum_logprob[:, :, None] + logprobs  # (N, B, V)
@@ -359,6 +386,46 @@ def beam_decode(
                 params, new_token.reshape(-1, 1), s.cur_len, s.cache, xkv,
                 config, share_xkv_groups=B, beam_ancestry=anc,
             )
+        elif kv_scheme == "permi":
+            # ---- copy-on-divergence lane assignment ----
+            # The first child of each parent inherits the parent's LANE
+            # (cache row untouched); extra children claim dead lanes and
+            # copy the parent's row in place (ops/lane_permute.py
+            # lane_move_inplace) — HBM traffic proportional to actual beam
+            # divergence instead of a full per-step cache permute.
+            lane_of = s.anc  # (N, B) logical beam -> lane
+            parent_lane = jnp.take_along_axis(lane_of, new_parent, axis=1)
+            iota_b = jnp.arange(B, dtype=jnp.int32)
+            eq = new_parent[:, :, None] == new_parent[:, None, :]  # (N,j,i)
+            lower = iota_b[None, :, None] > iota_b[None, None, :]
+            dup_before = jnp.any(eq & lower, axis=2)  # (N, j)
+            first = ~dup_before
+            oh_pl = jax.nn.one_hot(parent_lane, B, dtype=jnp.int32)
+            keep = jnp.sum(oh_pl, axis=1) > 0  # (N, l) lane still referenced
+            dead_rank = jnp.cumsum((~keep).astype(jnp.int32), axis=1) - 1
+            oh_dead = ((~keep)[:, :, None]
+                       & (dead_rank[:, :, None] == iota_b[None, None, :]))
+            lane_at_rank = jnp.einsum(
+                "nlr,l->nr", oh_dead.astype(jnp.int32), iota_b)  # (N, rank)
+            nf_rank = jnp.cumsum(dup_before.astype(jnp.int32), axis=1) - 1
+            fill_lane = jnp.take_along_axis(
+                lane_at_rank, jnp.clip(nf_rank, 0, B - 1), axis=1)
+            lane_new = jnp.where(first, parent_lane, fill_lane)  # (N, j)
+            oh_new = jax.nn.one_hot(lane_new, B, dtype=jnp.int32)  # (N,j,l)
+            moved = oh_new * dup_before.astype(jnp.int32)[:, :, None]
+            src_sc = jnp.einsum("njl,nj->nl", moved, parent_lane)
+            hit = jnp.sum(moved, axis=1) > 0
+            # src[l] = l for untouched lanes (the kernel skips their DMA);
+            # sources are always kept lanes, never targets (precondition)
+            src = jnp.where(hit, src_sc, iota_b[None, :])
+            token_lane = jnp.einsum("njl,nj->nl", oh_new, new_token)
+            src_flat = (src + jnp.arange(N)[:, None] * B).reshape(-1)
+            cache_in = [_move_entry(e, src, src_flat) for e in s.cache]
+            step_logits, cache_new, _ = decode_step(
+                params, token_lane.reshape(-1, 1), s.cur_len, cache_in, xkv,
+                config, share_xkv_groups=B,
+            )
+            anc = lane_new
         else:
             # physical lane permute (exactly the gathered classic beam);
             # the new token's K/V is then written by each lane at cur_len

@@ -78,3 +78,66 @@ def permute_lanes(
         interpret=interpret,
     )(parent.astype(jnp.int32), *mats)
     return [o[..., None] if s else o for s, o in zip(sq, outs)]
+
+
+def _move_kernel(src_ref, *refs):
+    # refs = n aliased in/out ANY-space refs + n DMA semaphores; the input
+    # and output of each tensor are THE SAME buffer (input_output_aliases),
+    # so row moves are issued on the out refs alone.
+    n = (len(refs)) // 3
+    outs = refs[n : 2 * n]
+    sems = refs[2 * n :]
+    b = pl.program_id(0)
+    s = src_ref[b]
+
+    @pl.when(s != b)
+    def _():
+        for o_ref, sem in zip(outs, sems):
+            pltpu.make_async_copy(o_ref.at[s], o_ref.at[b], sem).start()
+        for o_ref, sem in zip(outs, sems):
+            pltpu.make_async_copy(o_ref.at[s], o_ref.at[b], sem).wait()
+
+
+def lane_move_inplace(
+    arrays: list[jnp.ndarray],
+    src: jnp.ndarray,  # (NB,) int32: lane b receives row src[b]
+    *,
+    interpret: bool = False,
+) -> list[jnp.ndarray]:
+    """Copy-on-divergence lane reorder: row b <- row src[b], IN PLACE.
+
+    Rows with ``src[b] == b`` are untouched (no DMA at all), so the HBM
+    traffic is proportional to actual beam divergence (typically 1-2 of
+    ``beam_size`` rows per step) instead of a full-cache rewrite — the
+    full per-step permute costs 6.8-7.7 ms/step at 60 lanes even at the
+    best lowering (scripts/profile_beam.py PROF_PERM / /tmp/perm_floor).
+
+    PRECONDITION (beam-reorder structure, caller-guaranteed): every source
+    row is a fixed point — ``src[b] != b`` implies ``src[src[b]] ==
+    src[b]``. A parent lane that keeps at least one child keeps its own
+    row (the first child claims it), so a copied-from row is never itself
+    overwritten; TPU grid programs are sequential, so there is no race
+    either way, but violating the precondition makes results
+    order-dependent.
+    """
+    nb = arrays[0].shape[0]
+    sq = [a.shape[-1] == 1 for a in arrays]
+    mats = [a[..., 0] if s else a for s, a in zip(sq, arrays)]
+    assert all(a.shape[0] == nb for a in mats)
+
+    n = len(mats)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY) for _ in mats],
+        out_specs=[pl.BlockSpec(memory_space=pltpu.ANY) for _ in mats],
+        scratch_shapes=[pltpu.SemaphoreType.DMA] * n,
+    )
+    outs = pl.pallas_call(
+        _move_kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct(a.shape, a.dtype) for a in mats],
+        input_output_aliases={1 + i: i for i in range(n)},
+        interpret=interpret,
+    )(src.astype(jnp.int32), *mats)
+    return [o[..., None] if s else o for s, o in zip(sq, outs)]
