@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -121,23 +122,36 @@ def lane_move_inplace(
     order-dependent.
     """
     nb = arrays[0].shape[0]
-    sq = [a.shape[-1] == 1 for a in arrays]
-    mats = [a[..., 0] if s else a for s, a in zip(sq, arrays)]
-    assert all(a.shape[0] == nb for a in mats)
-
-    n = len(mats)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(nb,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY) for _ in mats],
-        out_specs=[pl.BlockSpec(memory_space=pltpu.ANY) for _ in mats],
-        scratch_shapes=[pltpu.SemaphoreType.DMA] * n,
-    )
-    outs = pl.pallas_call(
-        _move_kernel,
-        grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct(a.shape, a.dtype) for a in mats],
-        input_output_aliases={1 + i: i for i in range(n)},
-        interpret=interpret,
-    )(src.astype(jnp.int32), *mats)
-    return [o[..., None] if s else o for s, o in zip(sq, outs)]
+    assert all(a.shape[0] == nb for a in arrays)
+    # Mosaic constrains HBM row slices to the (sublane, 128) tiling of the
+    # LAST TWO dims; a row-major flatten to (NB, R/128, 128) is a free view
+    # and aligned whenever R % 1024 == 0 (sublane tile 8). Rows that can't
+    # align (odd small tensors) fall back to an XLA gather — they are tiny.
+    kern_idx, kern_mats, out_list = [], [], [None] * len(arrays)
+    for i, a in enumerate(arrays):
+        r = int(np.prod(a.shape[1:]))
+        if r % 1024 == 0:
+            kern_idx.append(i)
+            kern_mats.append(a.reshape(nb, r // 128, 128))
+        else:
+            out_list[i] = jnp.take(a, src, axis=0)
+    if kern_mats:
+        n = len(kern_mats)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nb,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY) for _ in kern_mats],
+            out_specs=[pl.BlockSpec(memory_space=pltpu.ANY) for _ in kern_mats],
+            scratch_shapes=[pltpu.SemaphoreType.DMA] * n,
+        )
+        outs = pl.pallas_call(
+            _move_kernel,
+            grid_spec=grid_spec,
+            out_shape=[jax.ShapeDtypeStruct(a.shape, a.dtype)
+                       for a in kern_mats],
+            input_output_aliases={1 + i: i for i in range(n)},
+            interpret=interpret,
+        )(src.astype(jnp.int32), *kern_mats)
+        for i, o in zip(kern_idx, outs):
+            out_list[i] = o.reshape(arrays[i].shape)
+    return out_list
