@@ -448,25 +448,16 @@ def perm_main():
         return out.reshape(nb, *rest)
 
     def permute_tree(cache, oh_b, flat_parent):
-        if mode == "inplace":
-            # ONE kernel call for the whole 32-layer pytree: per-call
-            # Mosaic entry/exit fences are the suspected per-step cost
-            # (32 calls x ~0.45 ms marginal), not the DMA bytes
-            from whisper_mlx_tpu.ops.lane_permute import lane_move_inplace
-            keys_per = [sorted(e) for e in cache]
-            flat = [e[k] for e, ks in zip(cache, keys_per) for k in ks]
-            outs = lane_move_inplace(flat, flat_parent)
-            out, i = [], 0
-            for ks in keys_per:
-                out.append(dict(zip(ks, outs[i:i + len(ks)])))
-                i += len(ks)
-            return out
-        if mode == "pallas":
-            from whisper_mlx_tpu.ops.lane_permute import permute_lanes
+        if mode in ("pallas", "inplace"):
+            from whisper_mlx_tpu.ops.lane_permute import (
+                lane_move_inplace,
+                permute_lanes,
+            )
+            fn = lane_move_inplace if mode == "inplace" else permute_lanes
             out = []
             for e in cache:
                 keys = sorted(e)
-                outs = permute_lanes([e[k] for k in keys], flat_parent)
+                outs = fn([e[k] for k in keys], flat_parent)
                 out.append(dict(zip(keys, outs)))
             return out
         return [{k: permute_entry(v, oh_b, flat_parent)

@@ -187,32 +187,19 @@ def beam_decode(
 
     _pallas_interpret = jax.default_backend() != "tpu"
 
-    def _move_cache(cache_tree, src, src_flat):
-        """permi: in-place copy-on-divergence row moves — ONE kernel call
-        for every movable tensor of all layers (per-call Mosaic fences,
-        not DMA bytes, dominate a per-layer call structure)."""
-        from whisper_mlx_tpu.ops.lane_permute import lane_move_inplace
+    def _move_entry(e, src, src_flat):
+        """permi: in-place copy-on-divergence row moves for one layer."""
+        if not any(v.dtype == jnp.int4 for v in e.values()):
+            from whisper_mlx_tpu.ops.lane_permute import lane_move_inplace
 
-        oh_src = None
-        kern, kern_pos = [], []
-        out = [dict(e) for e in cache_tree]
-        for li, e in enumerate(cache_tree):
-            for k in sorted(e):
-                v = e[k]
-                if v.dtype == jnp.int4:
-                    # no s4 block DMA in Mosaic: one-hot matmul fallback
-                    if oh_src is None:
-                        oh_src = jax.nn.one_hot(src, B, dtype=jnp.float32)
-                    out[li][k] = _permute_lanes(v, oh_src, src_flat)
-                else:
-                    kern.append(v)
-                    kern_pos.append((li, k))
-        if kern:
-            moved = lane_move_inplace(kern, src_flat,
-                                      interpret=_pallas_interpret)
-            for (li, k), v in zip(kern_pos, moved):
-                out[li][k] = v
-        return out
+            keys = sorted(e)
+            outs = lane_move_inplace([e[k] for k in keys], src_flat,
+                                     interpret=_pallas_interpret)
+            return dict(zip(keys, outs))
+        # int4 fallback: src is still a lane map — apply it as a one-hot
+        # matmul (no s4 block DMA in Mosaic)
+        oh_src = jax.nn.one_hot(src, B, dtype=jnp.float32)
+        return {k: _permute_lanes(v, oh_src, src_flat) for k, v in e.items()}
 
     def _permute_entry(e, oh, flat_parent):
         """Permute one layer's cache entry (dict of (NB, ...) tensors)."""
@@ -433,7 +420,7 @@ def beam_decode(
             src = jnp.where(hit, src_sc, iota_b[None, :])
             token_lane = jnp.einsum("njl,nj->nl", oh_new, new_token)
             src_flat = (src + jnp.arange(N)[:, None] * B).reshape(-1)
-            cache_in = _move_cache(s.cache, src, src_flat)
+            cache_in = [_move_entry(e, src, src_flat) for e in s.cache]
             step_logits, cache_new, _ = decode_step(
                 params, token_lane.reshape(-1, 1), s.cur_len, cache_in, xkv,
                 config, share_xkv_groups=B,

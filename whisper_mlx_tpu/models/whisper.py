@@ -630,18 +630,7 @@ def decode_step(
                     qx5 * scale, xkv[i]["k8t"], xkv[i]["ks"], xkv[i]["v8t"],
                     xkv[i]["vs"], valid_len=config.n_audio_ctx,
                 )
-            elif qx5.shape[3] == 1:
-                # (n, h) leading batch dims, M = g — the canonical batched
-                # matmul form (see ops/kv_quant.py attention_int8_grouped)
-                q4 = (qx5 * scale)[:, :, :, 0, :].transpose(0, 2, 1, 3)
-                s5 = jnp.einsum(
-                    "nhgd,nhkd->nhgk", q4.astype(jnp.float32),
-                    (xkv[i]["k"] * scale).astype(jnp.float32),
-                )
-                w5 = jax.nn.softmax(s5, axis=-1).astype(xkv[i]["v"].dtype)
-                o4 = jnp.einsum("nhgk,nhkd->nhgd", w5, xkv[i]["v"])
-                out5 = o4.transpose(0, 2, 1, 3)[:, :, :, None, :]
-            else:  # prefill (tq > 1)
+            else:
                 s5 = jnp.einsum(
                     "nghqd,nhkd->nghqk", (qx5 * scale).astype(jnp.float32),
                     (xkv[i]["k"] * scale).astype(jnp.float32),

@@ -241,23 +241,6 @@ def attention_int8_grouped(
         mask = jnp.where(k_idx < valid_len, 0.0, -jnp.inf)
     else:
         mask = 0.0
-    n, g, h, tq, d = q.shape
-    if tq == 1:
-        # Canonical batched-matmul form: batch (n, h), M = g query rows,
-        # N = tk — the same lowering the greedy decode attention gets. The
-        # original (n, g, h, 1, tk)-shaped einsum chain is layout-unstable
-        # inside beam loops that also reorder the self-KV cache: XLA
-        # materializes + layout-converts the f32 scores/weights every step
-        # (3 copies x 7.2 MB per layer per step measured at N=12/g=5 —
-        # scripts/profile_beam.py PROF_PERM + compiled-HLO copy histogram).
-        q4 = q[:, :, :, 0, :].transpose(0, 2, 1, 3)  # (n, h, g, d)
-        scores = jnp.einsum("nhgd,nhdk->nhgk", q4.astype(jnp.float32),
-                            k8t.astype(jnp.float32))
-        scores = scores * k_scale[..., 0][:, :, None, :] + mask
-        w = jax.nn.softmax(scores, axis=-1)
-        w = w * v_scale[..., 0][:, :, None, :]
-        out = jnp.einsum("nhgk,nhdk->nhgd", w, v8t.astype(jnp.float32))
-        return out.transpose(0, 2, 1, 3)[:, :, :, None, :].astype(q.dtype)
     scores = jnp.einsum(
         "nghqd,nhdk->nghqk", q.astype(jnp.float32), k8t.astype(jnp.float32)
     )
@@ -362,21 +345,16 @@ def attention_int8_beamflat(
     g = groups
     n = NB // g
     J = k8f.shape[3]
-    # canonical batched-matmul form — batch (n, h) LEADING in both
-    # operands, M = g, N = J. The earlier "nbhd,nhdj->nbhj" form (lhs
-    # batch dim h non-leading) sent XLA to the convolution emitter (834
-    # convolution ops in the compiled loop, ~2x the whole plain decode —
-    # compiled-HLO histogram, /tmp/hlo_probe method, r4).
-    q4 = q.reshape(n, g, h, d).transpose(0, 2, 1, 3)  # (n, h, g, d)
-    s = jnp.einsum("nhgd,nhdj->nhgj", q4.astype(jnp.float32),
+    q4 = q.reshape(n, g, h, d)
+    s = jnp.einsum("nbhd,nhdj->nbhj", q4.astype(jnp.float32),
                    k8f.astype(jnp.float32))
-    s = s * ks_f[..., 0][:, :, None, :]
+    s = s * ks_f[..., 0][:, None, :, :]
     m = _beamflat_mask(ancestry, n, g, J, pos)
-    s = jnp.where(m[:, None, :, :], s, -jnp.inf)
+    s = jnp.where(m[:, :, None, :], s, -jnp.inf)
     w = jax.nn.softmax(s, axis=-1)
-    w = w * vs_f[..., 0][:, :, None, :]
-    out = jnp.einsum("nhgj,nhdj->nhgd", w, v8f.astype(jnp.float32))
-    return out.transpose(0, 2, 1, 3).reshape(NB, h, tq, d).astype(q.dtype)
+    w = w * vs_f[..., 0][:, None, :, :]
+    out = jnp.einsum("nbhj,nhdj->nbhd", w, v8f.astype(jnp.float32))
+    return out.reshape(NB, h, tq, d).astype(q.dtype)
 
 
 def attention_fp_beamflat(
@@ -395,15 +373,14 @@ def attention_fp_beamflat(
     n = NB // g
     J = kf.shape[2]
     scale = d ** -0.25
-    # (n, h) leading batch dims — see attention_int8_beamflat
-    q4 = (q * scale).reshape(n, g, h, d).transpose(0, 2, 1, 3)
-    s = jnp.einsum("nhgd,nhjd->nhgj", q4.astype(jnp.float32),
+    q4 = (q * scale).reshape(n, g, h, d)
+    s = jnp.einsum("nbhd,nhjd->nbhj", q4.astype(jnp.float32),
                    (kf * scale).astype(jnp.float32))
     m = _beamflat_mask(ancestry, n, g, J, pos)
-    s = jnp.where(m[:, None, :, :], s, -jnp.inf)
+    s = jnp.where(m[:, :, None, :], s, -jnp.inf)
     w = jax.nn.softmax(s, axis=-1)
-    out = jnp.einsum("nhgj,nhjd->nhgd", w, vf.astype(jnp.float32))
-    return out.transpose(0, 2, 1, 3).reshape(NB, h, tq, d).astype(q.dtype)
+    out = jnp.einsum("nbhj,nhjd->nbhd", w, vf.astype(jnp.float32))
+    return out.reshape(NB, h, tq, d).astype(q.dtype)
 
 
 def attention_fp_ancestry(
