@@ -469,3 +469,38 @@ def test_prepare_a8_params_tree_and_dispatch():
     got = np.asarray(quant_matmul(x, leaf))  # CPU → dequant-GEMM fallback
     ref = np.asarray(x) @ np.asarray(leaf.dequantize(jnp.float32)).T
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_beamflat_attention_kernel_matches_xla():
+    """Fused beam-flat attention kernel (interpret) vs the XLA einsum
+    chain of attention_int8_beamflat — same masked softmax math."""
+    import numpy as np
+
+    from whisper_mlx_tpu.ops.beamflat_attention import (
+        beamflat_attention_kernel,
+    )
+    from whisper_mlx_tpu.ops.kv_quant import (
+        _beamflat_mask,
+        attention_int8_beamflat,
+    )
+
+    rng = np.random.default_rng(7)
+    n, g, h, d, T = 2, 5, 4, 64, 32
+    NB, J = n * g, T * g
+    q = jnp.asarray(rng.standard_normal((NB, h, 1, d)), jnp.bfloat16)
+    k8 = jnp.asarray(rng.integers(-127, 128, (n, h, d, J)), jnp.int8)
+    v8 = jnp.asarray(rng.integers(-127, 128, (n, h, d, J)), jnp.int8)
+    ks = jnp.asarray(rng.standard_normal((n, h, J, 1)) ** 2 * 0.02 + 1e-3,
+                     jnp.bfloat16)
+    vs = jnp.asarray(rng.standard_normal((n, h, J, 1)) ** 2 * 0.02 + 1e-3,
+                     jnp.bfloat16)
+    anc = jnp.asarray(rng.integers(0, g, (NB, T)), jnp.int32)
+    pos = jnp.int32(T - 2)
+
+    ref = attention_int8_beamflat(q, k8, ks, v8, vs, anc, pos, g)
+    m = _beamflat_mask(anc, n, g, J, pos)
+    out = beamflat_attention_kernel(q, k8, ks, v8, vs, m, groups=g,
+                                    interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        rtol=2e-2, atol=2e-2)  # bf16 output grid

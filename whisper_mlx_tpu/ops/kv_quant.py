@@ -24,8 +24,14 @@ docs/kv_quant_study.md (scripts/study_kv_divergence.py).
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
+
+# fused Pallas beam-flat attention (ops/beamflat_attention.py) — default ON
+# for the TPU int8 beam path; "0" falls back to the XLA einsum chain
+_BEAM_ATTN_KERNEL = os.environ.get("WTPU_BEAM_ATTN_KERNEL", "1") != "0"
 
 
 def quantize_kv(x: jnp.ndarray, bits: int = 8) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -340,11 +346,26 @@ def attention_int8_beamflat(
     Ancestry selection is a flat additive mask: softmax over masked
     columns is EXACTLY the gathered attention (non-selected columns
     contribute zero; each (lane, t<=pos) selects exactly one column).
+
+    On TPU with int8 codes the fused Pallas kernel
+    (ops/beamflat_attention.py) computes the whole score/softmax chain in
+    VMEM per (window, head) cell — the XLA lowering materializes the
+    (n, g→8, h, J) f32 chain in HBM every step (~17 ms/step of the beam
+    loop's 33 at beam5/N=24, r4 profile). Opt-out: WTPU_BEAM_ATTN_KERNEL=0.
     """
     NB, h, tq, d = q.shape
     g = groups
     n = NB // g
     J = k8f.shape[3]
+    if (_BEAM_ATTN_KERNEL and tq == 1 and k8f.dtype == jnp.int8
+            and jax.default_backend() == "tpu"):
+        from whisper_mlx_tpu.ops.beamflat_attention import (
+            beamflat_attention_kernel,
+        )
+
+        m = _beamflat_mask(ancestry, n, g, J, pos)
+        return beamflat_attention_kernel(q, k8f, ks_f, v8f, vs_f, m,
+                                         groups=g)
     q4 = q.reshape(n, g, h, d)
     s = jnp.einsum("nbhd,nhdj->nbhj", q4.astype(jnp.float32),
                    k8f.astype(jnp.float32))
