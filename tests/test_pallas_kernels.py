@@ -471,6 +471,27 @@ def test_prepare_a8_params_tree_and_dispatch():
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
 
 
+def test_a8_matmul_xla_lowering_contig(monkeypatch):
+    """WTPU_A8_XLA=1 (pure-XLA dot_general) must work with the DEFAULT
+    contig=True code layout — regression for the 3-D codes being fed to
+    dot_general directly (r4 advisor finding: trace-time TypeError)."""
+    from whisper_mlx_tpu.ops.quant import QuantTensor, quantize
+    from whisper_mlx_tpu.ops.quant_a8 import a8_matmul, requant_a8
+
+    monkeypatch.setenv("WTPU_A8_XLA", "1")
+    rng = np.random.default_rng(11)
+    n, k = 200, 256
+    w = rng.standard_normal((n, k)).astype(np.float32)
+    w_q, s, b = quantize(w, bits=4, group_size=64)
+    q = QuantTensor(jnp.asarray(w_q), jnp.asarray(s), jnp.asarray(b), 4, 64)
+    x = rng.standard_normal((3, k)).astype(np.float32)
+    for contig in (True, False):
+        at = requant_a8(q, tile_n=128, depth=2, contig=contig)
+        got = np.asarray(a8_matmul(jnp.asarray(x), at))
+        ref = _a8_emulate(x, np.asarray(at._codes_2d()), np.asarray(at.scale), n)
+        np.testing.assert_allclose(got, ref, rtol=2e-5, atol=1e-5)
+
+
 def test_beamflat_attention_kernel_matches_xla():
     """Fused beam-flat attention kernel (interpret) vs the XLA einsum
     chain of attention_int8_beamflat — same masked softmax math."""

@@ -211,7 +211,7 @@ def a8_matmul(x: jnp.ndarray, at: A8Tensor, interpret: bool = False) -> jnp.ndar
         # weight stream measured ~780 GB/s vs the manual ring's ~430 —
         # scripts/bench_qwen_matmuls.py / /tmp probes r4)
         acc = jax.lax.dot_general(
-            xq, at.codes, (((1,), (0,)), ((), ())),
+            xq, at._codes_2d(), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32)
         out = acc.astype(jnp.float32) * at.scale
         out = out[:, : at.n_orig] * sx

@@ -538,6 +538,10 @@ async def transcribe_endpoint(request: web.Request) -> web.Response:
             if "path" in body:
                 audio = await _load(body["path"])
             options = body.get("options", {})
+    except json.JSONDecodeError:
+        # malformed 'options' part / JSON body is a different client error
+        # from corrupt audio (JSONDecodeError ⊂ ValueError, so match first)
+        return _error("invalid JSON body", 400)
     except (ValueError, OSError, RuntimeError) as exc:
         # corrupt/unreadable audio is a client error, not a server crash:
         # surface load_audio's canonical message as a structured 422
