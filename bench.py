@@ -300,6 +300,10 @@ def main() -> None:
                     **({"kv_layout": kv_layout}
                        if kv_layout != "tminor" else {}),
                     **({"pipeline": pipeline_k} if pipeline_k > 1 else {}),
+                    **({"beam_kv": os.environ.get("WTPU_BEAM_KV", "flat"),
+                        **({"beam_phases": os.environ["WTPU_BEAM_PHASES"]}
+                           if os.environ.get("WTPU_BEAM_PHASES") else {})}
+                       if beam else {}),
                     **({"unroll": os.environ["WTPU_DECODE_UNROLL"]}
                        if os.environ.get("WTPU_DECODE_UNROLL", "1") != "1"
                        else {}),

@@ -525,3 +525,33 @@ def test_beamflat_attention_kernel_matches_xla():
     np.testing.assert_allclose(
         np.asarray(out, np.float32), np.asarray(ref, np.float32),
         rtol=2e-2, atol=2e-2)  # bf16 output grid
+
+
+def test_beamflat_attention_kernel_tpu_lowering():
+    """Cross-platform TPU lowering (jax.export) of the fused beam kernel at
+    the REAL bench shapes — runs Mosaic's block-mapping checks on CPU.
+
+    Regression: r4 shipped block specs whose trailing dims were neither
+    8/128-divisible nor equal to the array dims ((1, 64) vs (20, 64));
+    interpret-mode tests passed but every TPU beam decode crashed at trace
+    time. Mosaic only validates specs during TPU lowering, which
+    jax.export can run on any host.
+    """
+    import functools
+
+    from whisper_mlx_tpu.ops.beamflat_attention import (
+        beamflat_attention_kernel,
+    )
+
+    n, g, h, d = 24, 5, 20, 64  # large-v3 beam5 serving shapes
+    NB = n * g
+    for T in (128, 224):  # WTPU_BEAM_PHASES ladder: phase + full horizon
+        J = T * g
+        q = jnp.zeros((NB, h, 1, d), jnp.bfloat16)
+        k8 = jnp.zeros((n, h, d, J), jnp.int8)
+        ks = jnp.zeros((n, h, J, 1), jnp.bfloat16)
+        m = jnp.zeros((n, g, J), bool)
+        fn = functools.partial(beamflat_attention_kernel, groups=g)
+        exp = jax.export.export(jax.jit(fn), platforms=["tpu"])(
+            q, k8, ks, k8, ks, m)
+        assert "tpu" in [p.lower() for p in exp.platforms]

@@ -34,22 +34,24 @@ NEG_INF = float(jnp.finfo(jnp.float32).min)
 
 
 def _kernel(q_ref, k_ref, ks_ref, v_ref, vs_ref, m_ref, o_ref):
-    # blocks (leading singleton grid dims squeezed by Mosaic indexing):
-    #   q (1, g, 1, d) · k (1, 1, d, J) · scales (1, 1, J) · m (1, g, J)
-    q = q_ref[0, :, 0, :].astype(jnp.float32)          # (g, d)
+    # blocks (Mosaic requires the last-two block dims divisible by (8, 128)
+    # or EQUAL to the array dims — hence q is pre-transposed to (n, h, g, d)
+    # so its trailing (g, d) block covers the whole array dims):
+    #   q (1, 1, g, d) · k (1, 1, d, J) · scales (1, 1, 1, J) · m (1, g, J)
+    q = q_ref[0, 0].astype(jnp.float32)                # (g, d)
     k = k_ref[0, 0].astype(jnp.float32)                # (d, J)
     s = jax.lax.dot_general(q, k, (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)  # (g, J)
-    s = s * ks_ref[0, 0].astype(jnp.float32)[None, :]
+    s = s * ks_ref[0, 0, 0].astype(jnp.float32)[None, :]
     s = jnp.where(m_ref[0] != 0, s, NEG_INF)
     mx = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - mx)
     w = p / jnp.sum(p, axis=-1, keepdims=True)
-    w = w * vs_ref[0, 0].astype(jnp.float32)[None, :]
+    w = w * vs_ref[0, 0, 0].astype(jnp.float32)[None, :]
     v = v_ref[0, 0].astype(jnp.float32)                # (d, J)
     o = jax.lax.dot_general(w, v, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32)  # (g, d)
-    o_ref[0, :, 0, :] = o.astype(o_ref.dtype)
+    o_ref[0, 0] = o.astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("groups", "interpret"))
@@ -67,21 +69,24 @@ def beamflat_attention_kernel(
     g = groups
     n = NB // g
     J = k8f.shape[3]
-    q4 = q.reshape(n, g, h, d)
+    # (n, h, g, d): the trailing (g, d) block equals the array dims, which
+    # satisfies Mosaic's last-two-dims tiling rule for any g (g=5 is not
+    # divisible by 8). The transpose is ~300 KB at beam5/N=24 — negligible.
+    q4 = q.reshape(n, g, h, d).transpose(0, 2, 1, 3)
     out = pl.pallas_call(
         _kernel,
         grid=(n, h),
         in_specs=[
-            pl.BlockSpec((1, g, 1, d), lambda i, j: (i, 0, j, 0)),
+            pl.BlockSpec((1, 1, g, d), lambda i, j: (i, j, 0, 0)),
             pl.BlockSpec((1, 1, d, J), lambda i, j: (i, j, 0, 0)),
-            pl.BlockSpec((1, 1, J), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, 1, 1, J), lambda i, j: (i, j, 0, 0)),
             pl.BlockSpec((1, 1, d, J), lambda i, j: (i, j, 0, 0)),
-            pl.BlockSpec((1, 1, J), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, 1, 1, J), lambda i, j: (i, j, 0, 0)),
             pl.BlockSpec((1, g, J), lambda i, j: (i, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, g, 1, d), lambda i, j: (i, 0, j, 0)),
-        out_shape=jax.ShapeDtypeStruct((n, g, h, d), q.dtype),
+        out_specs=pl.BlockSpec((1, 1, g, d), lambda i, j: (i, j, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((n, h, g, d), q.dtype),
         interpret=interpret,
-    )(q4, k8f, ks_f[..., 0], v8f, vs_f[..., 0],
+    )(q4, k8f, ks_f.transpose(0, 1, 3, 2), v8f, vs_f.transpose(0, 1, 3, 2),
       mask.astype(jnp.int8))
-    return out.reshape(NB, h, tq, d)
+    return out.transpose(0, 2, 1, 3).reshape(NB, h, tq, d)
