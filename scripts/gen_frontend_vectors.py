@@ -60,12 +60,22 @@ def main() -> None:
     root = os.path.join(os.path.dirname(__file__), "..", "frontend")
     with open(os.path.join(root, "test_cases.json")) as f:
         cases = json.load(f)
-    vectors = generate(cases)
-    out = os.path.join(root, "test_vectors.json")
-    with open(out, "w") as f:
-        json.dump(vectors, f, indent=2, ensure_ascii=False)
-        f.write("\n")
-    print(f"wrote {out}")
+    if "--pins" not in sys.argv:
+        vectors = generate(cases)
+        out = os.path.join(root, "test_vectors.json")
+        with open(out, "w") as f:
+            json.dump(vectors, f, indent=2, ensure_ascii=False)
+            f.write("\n")
+        print(f"wrote {out}")
+    # print the drift pins to paste into tests/frontend_state_mirror.py
+    # (STATE_JS_SHA256 / VECTORS_SHA256) and frontend/tests.js
+    # (EXPECTED_VECTORS_SHA256)
+    import hashlib
+
+    for name in ("state.js", "test_vectors.json"):
+        digest = hashlib.sha256(
+            open(os.path.join(root, name), "rb").read()).hexdigest()
+        print(f"{name}: {digest}")
 
 
 if __name__ == "__main__":

@@ -21,6 +21,15 @@ import json
 import re
 from typing import Any
 
+# Drift pins (tests/test_frontend_state.py::test_mirror_drift_pins): any
+# edit to frontend/state.js or frontend/test_vectors.json fails CI until
+# the change is replicated here, vectors are regenerated
+# (scripts/gen_frontend_vectors.py), and BOTH pins are refreshed —
+# `python scripts/gen_frontend_vectors.py --pins` prints the new values.
+# frontend/tests.js pins the same vectors hash for the browser leg.
+STATE_JS_SHA256 = "7f2ec547393f5346cc952fef48f165662bf588e38fb956d84c5bc3e424b7834d"
+VECTORS_SHA256 = "2b018ca95f9df7cc574ebea4155057f56501fe4838d56a2a9d774506b4b40861"
+
 
 def initial_state() -> dict:
     return {

@@ -199,3 +199,47 @@ def test_index_html_loads_state_before_app():
     for marker in ("skip-link", 'role="tablist"', 'role="listbox"',
                    'aria-live="polite"', 'role="radiogroup"'):
         assert marker in html, marker
+
+
+# ---------------------------------------------------------------------------
+# drift guard: editing state.js (or the golden vectors) without updating the
+# Python mirror must fail loudly (VERDICT r4 weak #6)
+# ---------------------------------------------------------------------------
+
+import hashlib
+
+
+def _sha256(path):
+    return hashlib.sha256(path.read_bytes()).hexdigest()
+
+
+def test_mirror_drift_pins():
+    """frontend/state.js and test_vectors.json hashes are pinned in the
+    mirror; tests.js pins the SAME vectors hash for the browser leg."""
+    assert _sha256(FRONTEND / "state.js") == m.STATE_JS_SHA256, (
+        "frontend/state.js changed: replicate the change in "
+        "tests/frontend_state_mirror.py, regenerate vectors "
+        "(scripts/gen_frontend_vectors.py), and refresh the pins "
+        "(gen_frontend_vectors.py --pins)")
+    assert _sha256(FRONTEND / "test_vectors.json") == m.VECTORS_SHA256, (
+        "test_vectors.json changed without refreshing VECTORS_SHA256")
+    tests_js = (FRONTEND / "tests.js").read_text()
+    match = re.search(r'EXPECTED_VECTORS_SHA256\s*=\s*\n?\s*"([0-9a-f]{64})"',
+                      tests_js)
+    assert match, "tests.js lost its EXPECTED_VECTORS_SHA256 pin"
+    assert match.group(1) == m.VECTORS_SHA256, (
+        "browser-leg pin (frontend/tests.js) disagrees with the mirror pin")
+
+
+def test_statejs_exports_all_mirrored():
+    """Every function state.js exports has a snake_case mirror counterpart —
+    adding an export without mirroring it fails here."""
+    state_js = (FRONTEND / "state.js").read_text()
+    api = re.search(r"const api = \{(.*?)\};", state_js, re.S)
+    assert api, "state.js export block not found"
+    names = re.findall(r"(\w+)\s*:", api.group(1))
+    assert len(names) >= 9, names
+    for name in names:
+        snake = re.sub(r"([A-Z])", r"_\1", name).lower()
+        assert callable(getattr(m, snake, None)), (
+            f"state.js exports {name} but the mirror has no {snake}()")
