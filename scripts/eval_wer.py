@@ -17,13 +17,13 @@ import time
 from pathlib import Path
 
 
-def main() -> int:
+def main(argv: list[str] | None = None) -> "dict | int":
     parser = argparse.ArgumentParser("eval_wer")
     parser.add_argument("data_dir")
     parser.add_argument("--model", required=True)
     parser.add_argument("--batch-windows", action="store_true")
     parser.add_argument("--limit", type=int, default=0)
-    args = parser.parse_args()
+    args = parser.parse_args(argv)
 
     sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
     from whisper_mlx_tpu.cli import load_model
@@ -62,9 +62,10 @@ def main() -> int:
     stats["rtf"] = total_audio / dt if dt else 0.0
     stats["audio_seconds"] = total_audio
     stats["wall_seconds"] = dt
+    stats["utterances"] = len(pairs)
     print(stats)
-    return 0
+    return stats
 
 
 if __name__ == "__main__":
-    raise SystemExit(main())
+    raise SystemExit(0 if isinstance(main(), dict) else 1)

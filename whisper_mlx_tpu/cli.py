@@ -104,6 +104,19 @@ def load_model(model: str, model_dir: str | None):
         except FileNotFoundError:
             tokenizer = make_synthetic_tokenizer()
         return params, config, tokenizer
+    if model == "test-tiny":
+        # offline smoke rung (tests/test_wer.py::test_harness_end_to_end):
+        # a 64-dim random model so the FULL eval harness runs in seconds on
+        # CPU; numbers are meaningless, the plumbing is what is exercised.
+        from whisper_mlx_tpu.models.whisper import WhisperConfig
+
+        tokenizer = make_synthetic_tokenizer()
+        config = WhisperConfig(
+            n_mels=80, n_vocab=tokenizer.n_vocab,
+            n_audio_state=64, n_audio_head=4, n_audio_layer=2,
+            n_text_state=64, n_text_head=4, n_text_layer=2,
+        )
+        return init_params(config), config, tokenizer
     if model in WHISPER_CONFIGS:
         # no local weights: random init (only useful for smoke/bench runs)
         print(f"warning: no local checkpoint for {model!r}; using random weights",
