@@ -45,6 +45,7 @@ AUDIO_S = float(os.environ.get("SERVE_AUDIO_S", "120"))
 # rides the small bucket, the concurrent leg the big one
 BATCH = tuple(int(p) for p in os.environ.get("SERVE_BATCH", "8,56").split(","))
 WAIT_MS = float(os.environ.get("SERVE_WAIT_MS", "250"))
+IDLE_GAP_MS = float(os.environ.get("SERVE_IDLE_GAP_MS", "25"))
 SAMPLE_LEN = int(os.environ.get("BENCH_SAMPLE_LEN", "224"))
 PORT = int(os.environ.get("SERVE_PORT", "17997"))
 # SERVE_QUANT=4: BASELINE config 5 verbatim — 4-bit quantized large-v3
@@ -107,6 +108,7 @@ async def run() -> None:
 
     app["batcher"] = TranscriptionBatcher(
         params, config, tok, batch_size=BATCH, max_wait_ms=WAIT_MS,
+        idle_gap_ms=IDLE_GAP_MS,
         decoding=DecodingOptions(sample_len=SAMPLE_LEN, language="en"),
         mesh=serving_mesh(),  # WTPU_SERVE_DP>1 → multi-chip DP
     )

@@ -378,3 +378,55 @@ def test_load_audio_serving_single_parse(tmp_path, monkeypatch):
 
     with pytest.raises((ValueError, OSError)):  # canonical load_audio error
         dec.load_audio_serving(tmp_path / "nope.wav")
+
+
+def test_adaptive_flush_fills_while_device_busy(tiny, monkeypatch):
+    """Fill-aware flush (VERDICT r4 #2): while a batch is in flight,
+    arrivals staggered far past max_wait_ms must still coalesce into FULL
+    batches (an early partial flush would only queue behind the running
+    batch). With the old fixed-deadline policy this scenario produced four
+    1-window flushes after the first batch; adaptive produces one full one."""
+    import time as _time
+
+    params, config, tok = tiny
+    batcher = TranscriptionBatcher(
+        params, config, tok, batch_size=4, max_wait_ms=10, idle_gap_ms=5,
+        decoding=DecodingOptions(sample_len=4),
+    )
+
+    # make the "device" slow: each launch's finalize blocks ~0.4 s, so the
+    # staggered arrivals (4 x 60 ms > max_wait_ms) land while batch 1 runs
+    real_launch = batcher._launch
+
+    def slow_launch(jobs):
+        finalize = real_launch(jobs)
+
+        def slow_finalize():
+            _time.sleep(0.4)
+            return finalize() if callable(finalize) else finalize
+
+        return slow_finalize
+
+    monkeypatch.setattr(batcher, "_launch", slow_launch)
+
+    async def run():
+        first = asyncio.create_task(
+            batcher.transcribe(make_speechy_audio(seconds=5.0)))
+        await asyncio.sleep(0.05)  # batch 1 (1 window) is now in flight
+        late = []
+        for i in range(4):
+            late.append(asyncio.create_task(
+                batcher.transcribe(make_speechy_audio(seconds=5.0, seed=i))))
+            await asyncio.sleep(0.06)  # stagger past max_wait_ms
+        results = await asyncio.gather(first, *late)
+        batcher.shutdown()
+        return results
+
+    results = asyncio.run(run())
+    assert len(results) == 5
+    assert batcher.stats["windows"] == 5
+    # batch 1 = the lone first window; the 4 staggered windows must ride
+    # ONE full batch collected while the device was busy
+    assert batcher.stats["batches"] == 2, batcher.stats
+    # lone first window (fill 1/4) + one FULL batch of the 4 staggered ones
+    assert batcher.stats["fill_sum"] >= 0.25 + 1.0 - 1e-6, batcher.stats

@@ -68,6 +68,7 @@ class TranscriptionBatcher:
         max_wait_ms: float = 50.0,
         decoding: DecodingOptions | None = None,
         mesh=None,  # jax.sharding.Mesh — multi-chip DP over windows
+        idle_gap_ms: float = 25.0,
     ) -> None:
         self.config = config
         self.tokenizer = tokenizer
@@ -95,6 +96,7 @@ class TranscriptionBatcher:
         self.buckets = tuple(sorted({-(-b // dp) * dp for b in batch_size}))
         self.batch_size = self.buckets[-1]
         self.max_wait_ms = max_wait_ms
+        self.idle_gap_ms = idle_gap_ms
         self.decoding = decoding or DecodingOptions()
         self._queue: asyncio.Queue[_WindowJob] = asyncio.Queue()
         self._requests: dict[int, _Request] = {}
@@ -203,17 +205,35 @@ class TranscriptionBatcher:
         try:
             while True:
                 jobs = [await self._queue.get()]
+                # Fill-aware adaptive flush (r4 sweep showed fixed-deadline
+                # flushes go partial under arrival jitter: 278.5 @28 clients
+                # but 213-259 @36-60). Two regimes:
+                # - device BUSY (a batch in flight): flushing a partial
+                #   batch buys nothing — it would only queue behind the
+                #   running one — so keep collecting until full fill or the
+                #   device frees up. Saturated load therefore always flushes
+                #   full, independent of jitter.
+                # - device IDLE: debounce — extend the wait by idle_gap_ms
+                #   after every arrival (flush when fill plateaus), bounded
+                #   by the max_wait_ms hard deadline for lone-window latency.
                 deadline = time.monotonic() + self.max_wait_ms / 1000.0
+                idle_gap = self.idle_gap_ms / 1000.0
                 while len(jobs) < self.batch_size:
-                    remaining = deadline - time.monotonic()
-                    if remaining <= 0 and self._queue.empty():
-                        break
+                    busy = pending is not None and not pending.done()
+                    if busy:
+                        timeout = 0.02  # poll tick; re-check device state
+                    else:
+                        timeout = min(idle_gap, deadline - time.monotonic())
+                        if timeout <= 0 and self._queue.empty():
+                            break
+                        timeout = max(timeout, 0.001)
                     try:
                         jobs.append(await asyncio.wait_for(
-                            self._queue.get(), timeout=max(remaining, 0.001)
+                            self._queue.get(), timeout=timeout
                         ))
                     except asyncio.TimeoutError:
-                        break
+                        if not busy:
+                            break  # fill plateaued while device idle
                 finalize = await asyncio.to_thread(self._launch, jobs)
                 if pending is not None:
                     await pending

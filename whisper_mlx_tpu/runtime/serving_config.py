@@ -47,6 +47,20 @@ def serving_batch_size() -> int:
     return max(serving_batch_buckets())
 
 
+def serving_flush_knobs() -> tuple[float, float]:
+    """(max_wait_ms, idle_gap_ms) for the batcher's adaptive flush policy
+    (SERVE_WAIT_MS / SERVE_IDLE_GAP_MS)."""
+    try:
+        wait = float(os.environ.get("SERVE_WAIT_MS", 50.0))
+    except ValueError:
+        wait = 50.0
+    try:
+        gap = float(os.environ.get("SERVE_IDLE_GAP_MS", 25.0))
+    except ValueError:
+        gap = 25.0
+    return wait, gap
+
+
 def serving_batch_buckets() -> tuple[int, ...]:
     """Sorted window-batch buckets for the serving batcher."""
     import jax

@@ -681,8 +681,14 @@ def create_app(preload: bool = False, whisper_model: str | None = None,
             app["asr"] = (params, config, tokenizer)
             from whisper_mlx_tpu.runtime.batcher import TranscriptionBatcher
 
+            from whisper_mlx_tpu.runtime.serving_config import (
+                serving_flush_knobs,
+            )
+
+            wait_ms, gap_ms = serving_flush_knobs()
             app["batcher"] = TranscriptionBatcher(
                 params, config, tokenizer, batch_size=serving_batch_buckets(),
+                max_wait_ms=wait_ms, idle_gap_ms=gap_ms,
                 mesh=serving_mesh())
         try:
             from whisper_mlx_tpu.serving.sync.scheduler import start_scheduler
