@@ -307,6 +307,8 @@ def main() -> None:
                     **({"unroll": os.environ["WTPU_DECODE_UNROLL"]}
                        if os.environ.get("WTPU_DECODE_UNROLL", "1") != "1"
                        else {}),
+                    **({"attn_mxu": 1}
+                       if os.environ.get("WTPU_ATTN_MXU") == "1" else {}),
                 }) + "\n")
         except OSError:
             pass

@@ -71,7 +71,12 @@ def main() -> None:
     cfg_fp = dataclasses.replace(base, kv_bits=0, self_kv_bits=0)
     kv_bits = int(os.environ.get("STUDY_KV_BITS", "8"))
     self_bits = int(os.environ.get("STUDY_SELF_KV_BITS", str(kv_bits)))
-    cfg_q = dataclasses.replace(base, kv_bits=kv_bits, self_kv_bits=self_bits)
+    # STUDY_ATTN_MXU=1: the quantized leg additionally runs the integer-MXU
+    # attention (ops/kv_quant.py attention_int8_mxu) — bounds the EXTRA
+    # q / w·vs dynamic-rounding noise on top of the KV rounding
+    attn_mxu = os.environ.get("STUDY_ATTN_MXU") == "1"
+    cfg_q = dataclasses.replace(base, kv_bits=kv_bits, self_kv_bits=self_bits,
+                                attn_mxu=attn_mxu)
 
     rng = np.random.default_rng(7)
     opts = DecodingOptions(sample_len=sample_len, without_timestamps=False)
@@ -123,6 +128,7 @@ def main() -> None:
     report = {
         "model": model_name, "dtype": dtype_name, "windows": total,
         "kv_bits": kv_bits, "self_kv_bits": self_bits,
+        "attn_mxu": attn_mxu,
         "sample_len": sample_len,
         "exact_match_rate": round(exact / total, 4),
         "first_divergence_step": {

@@ -400,3 +400,96 @@ def test_tmajor_cross_decode_token_identical(tiny):
     r_bo = decode(params, mel, tok, tmaj,
                   DecodingOptions(sample_len=8, temperature=0.7, best_of=2))
     assert len(r_bo) == 2
+
+
+# ---------------------------------------------------------------------------
+# integer-MXU attention (attention_int8_mxu / _grouped_mxu / beamflat mxu):
+# s8×s8 dots with dynamic q / w·vs rounding — close to the einsum path
+# within the documented rounding noise, plus full-decode integration
+# ---------------------------------------------------------------------------
+
+
+def _rel_err(a, b):
+    a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+    return float(np.max(np.abs(a - b)) / max(np.max(np.abs(a)), 1e-9))
+
+
+def test_attention_mxu_close_to_einsum_path():
+    from whisper_mlx_tpu.ops.kv_quant import (
+        attention_int8_auto,
+        attention_int8_mxu,
+    )
+
+    rng = np.random.default_rng(0)
+    b, h, d, tk = 3, 4, 64, 200
+    q = jnp.asarray(rng.standard_normal((b, h, 1, d)), jnp.float32) * 0.3
+    k = jnp.asarray(rng.standard_normal((b, h, tk, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, tk, d)), jnp.float32)
+    for bits in (8, 4):
+        k8, ks = quantize_kv(k, bits=bits)
+        v8, vs = quantize_kv(v, bits=bits)
+        k8t, v8t = jnp.swapaxes(k8, 2, 3), jnp.swapaxes(v8, 2, 3)
+        ref = attention_int8_auto(q, k8t, ks, v8t, vs, valid_len=190)
+        got = attention_int8_mxu(q, k8t, ks, v8t, vs, valid_len=190)
+        assert _rel_err(ref, got) < 0.03, bits
+        ref = attention_int8_auto(q, k8t, ks, v8t, vs, pos=jnp.int32(120),
+                                  causal=True)
+        got = attention_int8_mxu(q, k8t, ks, v8t, vs, pos=jnp.int32(120),
+                                 causal=True)
+        assert _rel_err(ref, got) < 0.03, bits
+
+
+def test_attention_grouped_mxu_close_to_grouped():
+    from whisper_mlx_tpu.ops.kv_quant import (
+        attention_int8_grouped,
+        attention_int8_grouped_mxu,
+    )
+
+    rng = np.random.default_rng(1)
+    n, g, h, d, tk = 2, 5, 4, 64, 160
+    q5 = jnp.asarray(rng.standard_normal((n, g, h, 1, d)), jnp.float32) * 0.3
+    k = jnp.asarray(rng.standard_normal((n, h, tk, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((n, h, tk, d)), jnp.float32)
+    k8, ks = quantize_kv(k, bits=8)
+    v8, vs = quantize_kv(v, bits=8)
+    k8t, v8t = jnp.swapaxes(k8, 2, 3), jnp.swapaxes(v8, 2, 3)
+    ref = attention_int8_grouped(q5, k8t, ks, v8t, vs, valid_len=150)
+    got = attention_int8_grouped_mxu(q5, k8t, ks, v8t, vs, valid_len=150)
+    assert _rel_err(ref, got) < 0.03
+
+
+def test_attention_beamflat_mxu_close_to_flat():
+    from whisper_mlx_tpu.ops.kv_quant import (
+        attention_int8_beamflat,
+        quantize_kv as _qkv,
+    )
+
+    rng = np.random.default_rng(2)
+    n, g, h, d, T = 2, 5, 4, 64, 32
+    NB, J = n * g, T * g
+    q = jnp.asarray(rng.standard_normal((NB, h, 1, d)), jnp.float32) * 0.3
+    k8 = jnp.asarray(rng.integers(-127, 128, (n, h, d, J)), jnp.int8)
+    v8 = jnp.asarray(rng.integers(-127, 128, (n, h, d, J)), jnp.int8)
+    ks = jnp.asarray(np.abs(rng.standard_normal((n, h, J, 1))) * 0.02 + 1e-3,
+                     jnp.bfloat16)
+    vs = jnp.asarray(np.abs(rng.standard_normal((n, h, J, 1))) * 0.02 + 1e-3,
+                     jnp.bfloat16)
+    anc = jnp.asarray(rng.integers(0, g, (NB, T)), jnp.int32)
+    pos = jnp.int32(T - 2)
+    ref = attention_int8_beamflat(q, k8, ks, v8, vs, anc, pos, g)
+    got = attention_int8_beamflat(q, k8, ks, v8, vs, anc, pos, g, mxu=True)
+    assert _rel_err(ref, got) < 0.05
+
+
+def test_attn_mxu_full_decode(tiny):
+    """Greedy + beam decode run end-to-end with attn_mxu=True and produce
+    valid results (token-level equality is NOT expected — the dynamic q /
+    w·vs rounding perturbs logits within the studied band)."""
+    params, config, tok, mel = tiny
+    cfg = dataclasses.replace(config, kv_bits=8, self_kv_bits=8,
+                              attn_mxu=True)
+    res = decode(params, mel, tok, cfg, DecodingOptions(sample_len=8))
+    assert len(res) == 2 and all(r.tokens for r in res)
+    res_b = decode(params, mel, tok, cfg,
+                   DecodingOptions(sample_len=8, beam_size=3))
+    assert len(res_b) == 2 and all(r.tokens for r in res_b)

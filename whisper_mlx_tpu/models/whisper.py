@@ -43,6 +43,11 @@ _DECODE_ATTN_KERNEL_DEFAULT = os.environ.get("WTPU_DECODE_ATTN_KERNEL") == "1"
 # static decision read once at import (same rationale as the kernel flag)
 _SELF_KV_LAYOUT_DEFAULT = os.environ.get("WTPU_SELF_KV_LAYOUT", "tminor")
 _KV_LAYOUT_DEFAULT = os.environ.get("WTPU_KV_LAYOUT", "tminor")
+# integer-MXU decode attention (ops/kv_quant.py attention_int8_mxu): both
+# attention dots run s8×s8→s32 with dynamically re-quantized q / w·vs —
+# removes the per-code VPU converts the einsum path pays. Same
+# read-once-at-import rationale as the flags above.
+_ATTN_MXU_DEFAULT = os.environ.get("WTPU_ATTN_MXU") == "1"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -82,6 +87,10 @@ class WhisperConfig:
     # static decision threaded to cache layout AND kernel selection; default
     # comes from WTPU_DECODE_ATTN_KERNEL read once at import
     decode_attn_kernel: bool = _DECODE_ATTN_KERNEL_DEFAULT
+    # integer-MXU decode attention (WTPU_ATTN_MXU=1 / attn_mxu=True):
+    # s8×s8 MXU dots with dynamic q / w·vs int8 rounding — quality bounds
+    # docs/kv_quant_study.md (scripts/study_kv_divergence.py --attn-mxu)
+    attn_mxu: bool = _ATTN_MXU_DEFAULT
     # word-timestamp DTW cross-attention heads ((layer, head) pairs) — real
     # checkpoints ship the model-specific mask in config.json
     # ("alignment_heads", the openai per-model dump carried through the mlx
@@ -512,6 +521,7 @@ def decode_step(
                 attn_out = attention_int8_beamflat(
                     q * scale, entry["k8f"], entry["ksf"], entry["v8f"],
                     entry["vsf"], beam_ancestry, pos, g,
+                    mxu=config.attn_mxu,
                 )
             else:
                 from whisper_mlx_tpu.ops.kv_quant import attention_fp_beamflat
@@ -584,6 +594,13 @@ def decode_step(
                     q * scale, entry["k8t"], entry["ks"], entry["v8t"],
                     entry["vs"], beam_ancestry, pos, share_xkv_groups,
                 )
+            elif config.attn_mxu:
+                from whisper_mlx_tpu.ops.kv_quant import attention_int8_mxu
+
+                attn_out = attention_int8_mxu(
+                    q * scale, entry["k8t"], entry["ks"], entry["v8t"],
+                    entry["vs"], pos=pos, causal=True,
+                )
             else:
                 attn_out = attention_int8_auto(
                     q * scale, entry["k8t"], entry["ks"], entry["v8t"], entry["vs"],
@@ -624,9 +641,16 @@ def decode_step(
                     xkv[i]["vsT"],
                 )
             elif "k8t" in xkv[i]:
-                from whisper_mlx_tpu.ops.kv_quant import attention_int8_grouped
+                if config.attn_mxu:
+                    from whisper_mlx_tpu.ops.kv_quant import (
+                        attention_int8_grouped_mxu as _grouped,
+                    )
+                else:
+                    from whisper_mlx_tpu.ops.kv_quant import (
+                        attention_int8_grouped as _grouped,
+                    )
 
-                out5 = attention_int8_grouped(
+                out5 = _grouped(
                     qx5 * scale, xkv[i]["k8t"], xkv[i]["ks"], xkv[i]["v8t"],
                     xkv[i]["vs"], valid_len=config.n_audio_ctx,
                 )
@@ -649,13 +673,21 @@ def decode_step(
             cw = None
         elif "k8t" in xkv[i]:  # int8 KV path (never collects weights — DTW
             # alignment uses a full-precision pass)
-            from whisper_mlx_tpu.ops.kv_quant import attention_int8_auto
+            if config.attn_mxu:
+                from whisper_mlx_tpu.ops.kv_quant import attention_int8_mxu
 
-            cross_out = attention_int8_auto(
-                qx * scale, xkv[i]["k8t"], xkv[i]["ks"], xkv[i]["v8t"],
-                xkv[i]["vs"], valid_len=config.n_audio_ctx,
-                kernel=config.decode_attn_kernel,
-            )
+                cross_out = attention_int8_mxu(
+                    qx * scale, xkv[i]["k8t"], xkv[i]["ks"], xkv[i]["v8t"],
+                    xkv[i]["vs"], valid_len=config.n_audio_ctx,
+                )
+            else:
+                from whisper_mlx_tpu.ops.kv_quant import attention_int8_auto
+
+                cross_out = attention_int8_auto(
+                    qx * scale, xkv[i]["k8t"], xkv[i]["ks"], xkv[i]["v8t"],
+                    xkv[i]["vs"], valid_len=config.n_audio_ctx,
+                    kernel=config.decode_attn_kernel,
+                )
             cw = None
         else:
             cross_out, cw = attention(qx, xkv[i]["k"], xkv[i]["v"],

@@ -29,9 +29,11 @@ import os
 import jax
 import jax.numpy as jnp
 
-# fused Pallas beam-flat attention (ops/beamflat_attention.py) — default ON
-# for the TPU int8 beam path; "0" falls back to the XLA einsum chain
-_BEAM_ATTN_KERNEL = os.environ.get("WTPU_BEAM_ATTN_KERNEL", "1") != "0"
+# fused Pallas beam-flat attention (ops/beamflat_attention.py) — opt-in
+# (WTPU_BEAM_ATTN_KERNEL=1): measured NEUTRAL on hardware (98.1 vs 98.9
+# RTF for the XLA chain, r5 ladder) — XLA already overlaps the score
+# chain the kernel was built to fuse (docs/performance.md r5 table)
+_BEAM_ATTN_KERNEL = os.environ.get("WTPU_BEAM_ATTN_KERNEL", "0") == "1"
 
 
 def quantize_kv(x: jnp.ndarray, bits: int = 8) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -57,6 +59,102 @@ def quantize_kv(x: jnp.ndarray, bits: int = 8) -> tuple[jnp.ndarray, jnp.ndarray
     scale = scale.astype(jnp.bfloat16)
     q = jnp.clip(jnp.round(x32 / scale.astype(jnp.float32)), -qmax, qmax)
     return q.astype(jnp.int8 if bits == 8 else jnp.int4), scale
+
+
+def _quantize_rows(x32: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-row (last axis) symmetric int8: (codes, f32 scale w/ keepdims).
+
+    The MXU-attention quantizer (absmax/127, dynamic — same recipe as
+    ops/quant_a8.py activations). f32 scales: these are per decode ROW
+    (tq rows, not per cached position), so the bf16-scale HBM argument of
+    quantize_kv doesn't apply."""
+    absmax = jnp.max(jnp.abs(x32), axis=-1, keepdims=True)
+    scale = jnp.maximum(absmax, 1e-30) / 127.0
+    codes = jnp.clip(jnp.round(x32 / scale), -127.0, 127.0).astype(jnp.int8)
+    return codes, scale
+
+
+def _as_s8(codes: jnp.ndarray) -> jnp.ndarray:
+    """int4 codes → int8 for the integer dot (one fused convert; int8
+    codes pass through untouched)."""
+    return codes if codes.dtype == jnp.int8 else codes.astype(jnp.int8)
+
+
+def attention_int8_mxu(
+    q: jnp.ndarray,        # (b, h, tq, d) — pre-scaled queries
+    k8t: jnp.ndarray,      # (b, h, d, tk) int8/int4 — keys cached TRANSPOSED
+    k_scale: jnp.ndarray,  # (b, h, tk, 1)
+    v8t: jnp.ndarray,      # (b, h, d, tk) int8/int4
+    v_scale: jnp.ndarray,  # (b, h, tk, 1)
+    pos: jnp.ndarray | int = 0,
+    causal: bool = False,
+    valid_len: int | None = None,
+) -> jnp.ndarray:
+    """Attention over quantized KV with INTEGER MXU dots (W8A8-style).
+
+    The XLA einsum path (attention_int8_auto) converts every K/V code to
+    f32 on the VPU before the dot — measured convert-bound, not DMA-bound
+    (docs/performance.md: int4 cross streams 350 GB/s packed vs 735 dense;
+    same phenomenon ops/quant_a8.py eliminated for the LLM matmuls, 52.2 →
+    84.9 tok/s). Here both dots run s8×s8 → s32 on the MXU with ZERO
+    per-code VPU work: q is re-quantized per row (absmax/127 over d), and
+    the value-side weights (softmax × per-position v_scale) are quantized
+    per row over tk — the only VPU work is O(tq·tk) on the small score
+    matrix, not O(d·tk) on the codes.
+
+    Numerics: exact scale-folded attention over the dequantized K/V grid
+    PLUS two dynamic int8 roundings (q, w·vs) — bounded offline by
+    scripts/study_kv_divergence.py --attn-mxu (docs/kv_quant_study.md).
+    Opt-in: WhisperConfig.attn_mxu / WTPU_ATTN_MXU=1.
+    """
+    tq, tk = q.shape[2], k8t.shape[3]
+    k_idx = jnp.arange(tk)[None, :]
+    if causal:
+        q_idx = jnp.arange(tq)[:, None] + pos
+        mask = jnp.where(k_idx <= q_idx, 0.0, -jnp.inf)
+    else:
+        valid = k_idx < (tk if valid_len is None else valid_len)
+        mask = jnp.where(jnp.broadcast_to(valid, (tq, tk)), 0.0, -jnp.inf)
+    q8, qs = _quantize_rows(q.astype(jnp.float32))
+    s32 = jnp.einsum("bhqd,bhdk->bhqk", q8, _as_s8(k8t),
+                     preferred_element_type=jnp.int32)
+    scores = (s32.astype(jnp.float32) * qs
+              * k_scale[..., 0].astype(jnp.float32)[:, :, None, :] + mask)
+    w = jax.nn.softmax(scores, axis=-1)
+    wv = w * v_scale[..., 0].astype(jnp.float32)[:, :, None, :]
+    w8, ws = _quantize_rows(wv)
+    o32 = jnp.einsum("bhqk,bhdk->bhqd", w8, _as_s8(v8t),
+                     preferred_element_type=jnp.int32)
+    return (o32.astype(jnp.float32) * ws).astype(q.dtype)
+
+
+def attention_int8_grouped_mxu(
+    q: jnp.ndarray,        # (n, g, h, tq, d) — g beams share one window
+    k8t: jnp.ndarray,      # (n, h, d, tk) int8/int4 — shared cache
+    k_scale: jnp.ndarray,  # (n, h, tk, 1)
+    v8t: jnp.ndarray,      # (n, h, d, tk)
+    v_scale: jnp.ndarray,  # (n, h, tk, 1)
+    valid_len: int | None = None,
+) -> jnp.ndarray:
+    """Grouped (beam/best_of cross) twin of :func:`attention_int8_mxu` —
+    integer dots broadcast the shared cache over the g hypothesis rows."""
+    tk = k8t.shape[3]
+    if valid_len is not None and valid_len < tk:
+        mask = jnp.where(jnp.arange(tk)[None, :] < valid_len, 0.0, -jnp.inf)
+    else:
+        mask = 0.0
+    q8, qs = _quantize_rows(q.astype(jnp.float32))
+    s32 = jnp.einsum("nghqd,nhdk->nghqk", q8, _as_s8(k8t),
+                     preferred_element_type=jnp.int32)
+    scores = (s32.astype(jnp.float32) * qs
+              * k_scale[..., 0].astype(jnp.float32)[:, None, :, None, :]
+              + mask)
+    w = jax.nn.softmax(scores, axis=-1)
+    wv = w * v_scale[..., 0].astype(jnp.float32)[:, None, :, None, :]
+    w8, ws = _quantize_rows(wv)
+    o32 = jnp.einsum("nghqk,nhdk->nghqd", w8, _as_s8(v8t),
+                     preferred_element_type=jnp.int32)
+    return (o32.astype(jnp.float32) * ws).astype(q.dtype)
 
 
 def attention_int8_auto(
@@ -331,6 +429,7 @@ def attention_int8_beamflat(
     ancestry: jnp.ndarray,  # (N*B, T) int32 in [0, g)
     pos: jnp.ndarray,     # scalar: current write position (causal horizon)
     groups: int,          # g — beam lanes per window
+    mxu: bool = False,    # integer-MXU dots (see attention_int8_mxu)
 ) -> jnp.ndarray:
     """Beam self-attention over a lane-interleaved FLAT cache.
 
@@ -351,12 +450,32 @@ def attention_int8_beamflat(
     (ops/beamflat_attention.py) computes the whole score/softmax chain in
     VMEM per (window, head) cell — the XLA lowering materializes the
     (n, g→8, h, J) f32 chain in HBM every step (~17 ms/step of the beam
-    loop's 33 at beam5/N=24, r4 profile). Opt-out: WTPU_BEAM_ATTN_KERNEL=0.
+    loop's 33 at beam5/N=24, r4 profile) — but measured NEUTRAL e2e (98.1
+    vs 98.9 RTF, r5 ladder): XLA already overlaps the chain. Opt-in:
+    WTPU_BEAM_ATTN_KERNEL=1.
     """
     NB, h, tq, d = q.shape
     g = groups
     n = NB // g
     J = k8f.shape[3]
+    if mxu and tq == 1:
+        # integer-MXU dots (see attention_int8_mxu): zero per-code VPU work
+        q8, qs = _quantize_rows(q.astype(jnp.float32))  # (NB, h, 1, d)
+        q8 = q8[:, :, 0].reshape(n, g, h, d)
+        qs = qs[:, :, 0].reshape(n, g, h, 1)
+        s32 = jnp.einsum("nbhd,nhdj->nbhj", q8, _as_s8(k8f),
+                         preferred_element_type=jnp.int32)
+        s = (s32.astype(jnp.float32) * qs
+             * ks_f[..., 0].astype(jnp.float32)[:, None, :, :])
+        m = _beamflat_mask(ancestry, n, g, J, pos)
+        s = jnp.where(m[:, :, None, :], s, -jnp.inf)
+        w = jax.nn.softmax(s, axis=-1)
+        wv = w * vs_f[..., 0].astype(jnp.float32)[:, None, :, :]
+        w8, ws = _quantize_rows(wv)
+        o32 = jnp.einsum("nbhj,nhdj->nbhd", w8, _as_s8(v8f),
+                         preferred_element_type=jnp.int32)
+        out = o32.astype(jnp.float32) * ws
+        return out.reshape(NB, h, tq, d).astype(q.dtype)
     if (_BEAM_ATTN_KERNEL and tq == 1 and k8f.dtype == jnp.int8
             and jax.default_backend() == "tpu"):
         from whisper_mlx_tpu.ops.beamflat_attention import (
