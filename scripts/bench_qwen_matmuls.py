@@ -109,11 +109,16 @@ def main():
         nq = NativeQuantTensor(
             jax.jit(lambda w: unpack(w, 4, xp=jnp).astype(jnp.uint8))(q.w_q),
             q.scales, q.biases, 4, 64)
+        from whisper_mlx_tpu.ops.quant_a8 import a8_matmul, requant_a8
+
+        a8t = requant_a8(jnp.asarray(w.T, jnp.float32))  # (K, N) fp
         variants = {
             "dense": lambda x: x @ w_bf,
             "prod": lambda x: quant_matmul_pallas(x, q),
             "mbt": lambda x: quant_matmul_mbt(x, qt),
             "native": lambda x: native_group_matmul(x, nq),
+            # W8A8 MXU path (2× the packed bytes; eff uses that stream)
+            "a8": lambda x: a8_matmul(x, a8t),
         }
         vfilter = os.environ.get("QB_VARIANTS", "")
         if vfilter:
@@ -123,7 +128,8 @@ def main():
         for name, fn in variants.items():
             try:
                 us = timed_loop(fn, x0)
-                eff = stream_mb * (2 if name == "dense" else 1) / us * 1e3
+                eff = (stream_mb * (2 if name in ("dense", "a8") else 1)
+                       / us * 1e3)
                 line.append(f"{name}={us:7.1f}us {eff:5.0f}GB/s")
                 totals[name] = totals.get(name, 0.0) + us
             except Exception as e:
