@@ -383,8 +383,11 @@ def test_beam_kv_scheme_parity(tiny):
         flat, perm, permg = run("flat"), run("perm"), run("permg")
         permp = run("permp")  # Pallas DMA lowering (interpret on CPU)
         permi = run("permi")  # copy-on-divergence lane bookkeeping
-        for other, name in ((perm, "perm"), (permg, "permg"),
-                            (permp, "permp"), (permi, "permi")):
+        others = [(perm, "perm"), (permg, "permg"),
+                  (permp, "permp"), (permi, "permi")]
+        if self_bits != 4:  # shared: no s4 gather on this backend
+            others.append((run("shared"), "shared"))
+        for other, name in others:
             assert np.array_equal(np.asarray(flat.tokens),
                                   np.asarray(other.tokens)), \
                 f"{name} tokens diverge from flat (self_kv_bits={self_bits})"
@@ -397,3 +400,48 @@ def test_beam_kv_scheme_parity(tiny):
                 rtol=2e-5, atol=1e-5)
         np.testing.assert_array_equal(
             np.asarray(perm.scores), np.asarray(permg.scores))
+
+
+def test_beam_shared_overflow_fallback_exact(tiny):
+    """kv_scheme='shared' with a pathologically small W: the fast loop
+    overflows almost immediately and the exact flat fallback finishes each
+    segment — tokens must STILL be identical to flat. Also checks a roomy
+    W for the no-overflow path, both fp and int8 self-KV."""
+    import dataclasses
+
+    from whisper_mlx_tpu.decoding.beam import beam_decode
+
+    params, config, tok, mel = tiny
+    opts = DecodingOptions(sample_len=40, beam_size=3)
+    init_tokens, sot_index, sample_begin = build_initial_tokens(
+        tok, opts, config.n_text_ctx)
+    always, begin = make_suppress_mask(config.n_vocab, (), (tok.eot,))
+    fc = FilterConfig(
+        eot=tok.eot, no_timestamps=tok.no_timestamps,
+        timestamp_begin=tok.timestamp_begin, sample_begin=sample_begin,
+        max_initial_timestamp_index=None, apply_timestamp_rules=False)
+
+    for self_bits in (0, 8):
+        cfg = dataclasses.replace(config, self_kv_bits=self_bits)
+        states = encode(params, mel, cfg)
+
+        def run(scheme, window=None, cfg=cfg, states=states):
+            return beam_decode(
+                params, states,
+                jnp.tile(jnp.asarray(init_tokens, jnp.int32)[None, :], (2, 1)),
+                jnp.asarray(always), jnp.asarray(begin),
+                config=cfg, filter_cfg=fc, sample_len=40,
+                sot_index=sot_index, no_speech_token=tok.no_speech,
+                beam_size=3, pool_size=3, phases=(16,), kv_scheme=scheme,
+                window=window,
+            )
+
+        flat = run("flat")
+        for W in (4, 12, 40):  # 4 → overflow-dominated; 40 → never
+            shared = run("shared", window=W)
+            assert np.array_equal(np.asarray(flat.tokens),
+                                  np.asarray(shared.tokens)), \
+                f"shared W={W} self_bits={self_bits} tokens diverge"
+            np.testing.assert_allclose(
+                np.asarray(flat.scores), np.asarray(shared.scores),
+                rtol=3e-5, atol=1e-5)

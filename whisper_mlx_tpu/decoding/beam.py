@@ -102,7 +102,8 @@ class BeamResult(NamedTuple):
 @partial(
     jax.jit,
     static_argnames=("config", "filter_cfg", "sample_len", "sot_index",
-                     "beam_size", "pool_size", "phases", "kv_scheme"),
+                     "beam_size", "pool_size", "phases", "kv_scheme",
+                     "window"),
 )
 def beam_decode(
     params: Params,
@@ -119,6 +120,7 @@ def beam_decode(
     pool_size: int,
     phases: "tuple[int, ...] | None" = None,
     kv_scheme: str = "flat",
+    window: "int | None" = None,  # shared-scheme F read width (positions)
 ) -> BeamResult:
     N, n_init = initial_tokens.shape
     B, P = beam_size, pool_size
@@ -148,9 +150,16 @@ def beam_decode(
         phases = (128,)
     phase_bounds = [b for b in sorted(set(phases))
                     if n_init + 1 < b and horizon > b + 32]
+    # kv_scheme="shared": F (the flat per-lane cache) is allocated at the
+    # FULL horizon up front — its reads are windowed (W columns via
+    # per-window dynamic slices), so the phase ladder only governs the
+    # shared-prefix buffer S's width
+    shared = kv_scheme == "shared"
+    shared_window = int(window) if window else 64
     cache = init_kv_cache(
         config, NB,
-        max_len=phase_bounds[0] if phase_bounds else horizon)
+        max_len=horizon if shared
+        else (phase_bounds[0] if phase_bounds else horizon))
     t_alloc = (cache[0]["k8t"].shape[3] if "k8t" in cache[0]
                else cache[0]["k"].shape[2])
     # indirection-addressed cache (VERDICT r2 item 3): the cache is NEVER
@@ -162,7 +171,8 @@ def beam_decode(
     own_lane = jnp.tile(jnp.arange(B, dtype=jnp.int32), (N,))  # (NB,)
     anc0 = jnp.tile(own_lane[:, None], (1, t_alloc))  # prefill rows are own
 
-    if kv_scheme not in ("flat", "perm", "permg", "permp", "permi"):
+    if kv_scheme not in ("flat", "shared", "perm", "permg", "permp",
+                         "permi"):
         raise ValueError(f"unknown beam kv_scheme {kv_scheme!r}")
 
     def _permute_lanes(a, oh, flat_parent):
@@ -248,7 +258,47 @@ def beam_decode(
 
         return {"kf": flat_fp(entry["k"]), "vf": flat_fp(entry["v"])}
 
-    if kv_scheme == "flat":
+    def _ts_of(bound: int) -> int:
+        """S-buffer width for a segment bound (same 128-lane rounding as
+        init_kv_cache, capped at the F allocation's T)."""
+        return min(-(-bound // 128) * 128, t_alloc)
+
+    def _build_S(cache_flat, anc, s_fill, Ts):
+        """(Re)build the shared-prefix buffers: S[:, …, t] = the agreed
+        lane's F column for t < s_fill (one gather per layer — runs at
+        init and phase boundaries only)."""
+        t_idx = jnp.arange(Ts)
+        lane_t = anc.reshape(N, B, -1)[:, 0, :Ts]  # agreed region: row 0
+        idx = jnp.clip(t_idx[None, :], 0, t_alloc - 1) * B + lane_t  # (N,Ts)
+        out = []
+        for e in cache_flat:
+            if "k8f" in e:
+                gcol = lambda a: jnp.take_along_axis(
+                    a, idx[:, None, None, :], axis=3)
+                gsc = lambda s_: jnp.take_along_axis(
+                    s_, idx[:, None, :, None], axis=2)
+                out.append({**e, "sk8": gcol(e["k8f"]), "sks": gsc(e["ksf"]),
+                            "sv8": gcol(e["v8f"]), "svs": gsc(e["vsf"])})
+            else:
+                gcol = lambda a: jnp.take_along_axis(
+                    a, idx[:, None, :, None], axis=2)
+                out.append({**e, "skf": gcol(e["kf"]), "svf": gcol(e["vf"])})
+        return out
+
+    def _strip_S(entries):
+        return [{k: v for k, v in e.items()
+                 if k not in ("sk8", "sks", "sv8", "svs", "skf", "svf")}
+                for e in entries]
+
+    if kv_scheme == "shared" and config.self_kv_bits == 4:
+        raise ValueError("kv_scheme='shared' requires self_kv_bits in "
+                         "(0, 8) — no s4 gather on this backend")
+    if kv_scheme == "shared":
+        cache = [_to_flat(e) for e in cache]
+        s_fill0 = jnp.full((N,), n_init, jnp.int32)
+        ts0 = _ts_of(phase_bounds[0] if phase_bounds else horizon)
+        cache = _build_S(cache, anc0, s_fill0, ts0)
+    elif kv_scheme == "flat":
         cache = [_to_flat(e) for e in cache]
     elif kv_scheme == "permi":
         # copy-on-divergence: plain per-lane layout; the carried (N, B)
@@ -278,6 +328,11 @@ def beam_decode(
         fin_lengths: jnp.ndarray  # (N, P)
         fin_scores: jnp.ndarray  # (N, P)
         fin_count: jnp.ndarray  # (N,)
+        # kv_scheme="shared" only (dummies otherwise): per-window count of
+        # agreed positions committed to the single-copy S buffers, and the
+        # fast-loop exit flag (divergence outgrew the W read window)
+        s_fill: jnp.ndarray = jnp.zeros((1,), jnp.int32)
+        overflow: jnp.ndarray = jnp.asarray(False)
 
     # step 0: only beam 0 is live (all beams identical after prefill)
     cum0 = jnp.where(jnp.arange(B)[None, :] == 0, 0.0, NEG_INF)
@@ -294,6 +349,9 @@ def beam_decode(
         fin_lengths=jnp.zeros((N, P), jnp.int32),
         fin_scores=jnp.full((N, P), NEG_INF, jnp.float32),
         fin_count=jnp.zeros((N,), jnp.int32),
+        s_fill=(jnp.full((N,), n_init, jnp.int32) if kv_scheme == "shared"
+                else jnp.zeros((1,), jnp.int32)),
+        overflow=jnp.asarray(False),
     )
     max_len = min(n_init + sample_len, n_ctx)
     V = config.n_vocab
@@ -302,8 +360,8 @@ def beam_decode(
     def cond(s: State):
         return (s.cur_len < max_len) & ~jnp.all(s.fin_count >= P)
 
-    def body(s: State) -> State:
-        if kv_scheme == "permi":
+    def body(s: State, scheme: str = kv_scheme) -> State:
+        if scheme == "permi":
             # decode_step returns LANE-ordered logits; selection runs in
             # LOGICAL beam order (tie-breaks identical to the host
             # reference), so gather rows by the logical->lane map
@@ -375,7 +433,8 @@ def beam_decode(
         tokens = jax.lax.dynamic_update_slice(
             tokens, new_token.reshape(-1, 1), (0, s.cur_len)
         )
-        if kv_scheme == "flat":
+        s_fill, overflow = s.s_fill, s.overflow
+        if scheme == "flat":
             # ancestry reorder (tiny (NB, T) int32 gather) replaces the old
             # whole-cache gather; the new token's K/V will be written by this
             # lane itself at cur_len
@@ -386,7 +445,72 @@ def beam_decode(
                 params, new_token.reshape(-1, 1), s.cur_len, s.cache, xkv,
                 config, share_xkv_groups=B, beam_ancestry=anc,
             )
-        elif kv_scheme == "permi":
+        elif scheme == "shared":
+            # PREFIX SHARING: same ancestry discipline as flat, plus eager
+            # per-window commits of newly-agreed columns into S. Agreement
+            # is ancestrally monotone (children inherit the live set's
+            # common prefix), so commits are permanent; the fast loop exits
+            # (overflow) when any active window's divergent tail outgrows
+            # the static W read window, and the flat loop finishes the
+            # segment exactly.
+            anc = s.anc[flat_parent]
+            anc = jax.lax.dynamic_update_slice(
+                anc, own_lane[:, None], (0, s.cur_len))
+            anc3 = anc.reshape(N, B, t_alloc)
+            ts_seg = (s.cache[0]["sk8"].shape[3] if "sk8" in s.cache[0]
+                      else s.cache[0]["skf"].shape[2])
+            cache_c = s.cache
+            for _ in range(2):  # ≤2 commits/step: drains divergence lag
+                p = s_fill  # (N,) next column to commit
+                pc = jnp.clip(p, 0, t_alloc - 1)
+                cols = jnp.take_along_axis(
+                    anc3, pc[:, None, None], axis=2)[:, :, 0]  # (N, B)
+                agreed = jnp.all(cols == cols[:, :1], axis=1)
+                ok = agreed & (p < s.cur_len) & (p < ts_seg)
+                lane = cols[:, 0]
+                j = (pc * B + lane)  # (N,) F column
+                pw = jnp.clip(p, 0, ts_seg - 1)
+                new_c = []
+                for e in cache_c:
+                    e2 = dict(e)
+                    if "sk8" in e:
+                        pairs = (("k8f", "sk8", 3), ("v8f", "sv8", 3),
+                                 ("ksf", "sks", 2), ("vsf", "svs", 2))
+                    else:
+                        pairs = (("kf", "skf", 2), ("vf", "svf", 2))
+                    for fk, sk, ax in pairs:
+                        if ax == 3:
+                            col = jnp.take_along_axis(
+                                e[fk], j[:, None, None, None], axis=3)
+                            old = jnp.take_along_axis(
+                                e[sk], pw[:, None, None, None], axis=3)
+                            newcol = jnp.where(
+                                ok[:, None, None, None], col, old)
+                            e2[sk] = jax.vmap(
+                                lambda sbuf, c, pp: jax.lax.dynamic_update_slice(
+                                    sbuf, c, (0, 0, pp)))(e[sk], newcol, pw)
+                        else:
+                            col = jnp.take_along_axis(
+                                e[fk], j[:, None, None, None], axis=2)
+                            old = jnp.take_along_axis(
+                                e[sk], pw[:, None, None, None], axis=2)
+                            newcol = jnp.where(
+                                ok[:, None, None, None], col, old)
+                            e2[sk] = jax.vmap(
+                                lambda sbuf, c, pp: jax.lax.dynamic_update_slice(
+                                    sbuf, c, (0, pp, 0)))(e[sk], newcol, pw)
+                    new_c.append(e2)
+                cache_c = new_c
+                s_fill = jnp.where(ok, p + 1, p)
+            active = s.fin_count < P
+            overflow = s.overflow | jnp.any(
+                active & (s_fill < s.cur_len + 2 - shared_window))
+            step_logits, cache_new, _ = decode_step(
+                params, new_token.reshape(-1, 1), s.cur_len, cache_c, xkv,
+                config, share_xkv_groups=B, beam_ancestry=anc,
+                beam_s_fill=s_fill, beam_window=shared_window,
+            )
+        elif scheme == "permi":
             # ---- copy-on-divergence lane assignment ----
             # The first child of each parent inherits the parent's LANE
             # (cache row untouched); extra children claim dead lanes and
@@ -447,12 +571,17 @@ def beam_decode(
             fin_lengths=fin_lengths,
             fin_scores=fin_scores,
             fin_count=fin_count,
+            s_fill=s_fill,
+            overflow=overflow,
         )
 
-    def run_loop(s: State, bound: int) -> State:
+    def run_loop(s: State, bound: int, scheme: str = kv_scheme) -> State:
         def condb(st: State):
-            return cond(st) & (st.cur_len < bound)
-        return jax.lax.while_loop(condb, body, s)
+            c = cond(st) & (st.cur_len < bound)
+            if scheme == "shared":
+                c = c & ~st.overflow
+            return c
+        return jax.lax.while_loop(condb, lambda st: body(st, scheme), s)
 
     # The loop cache is either the lane-interleaved FLAT layout (column
     # t·B+k of the T·B axis = lane k's position t) or, for perm/permg, the
@@ -460,6 +589,34 @@ def beam_decode(
     # end — every old column keeps its meaning in the bigger buffer.
     t_axis_flat = {"k8f": 3, "v8f": 3, "ksf": 2, "vsf": 2, "kf": 2, "vf": 2,
                    "k8t": 3, "v8t": 3, "ks": 2, "vs": 2, "k": 2, "v": 2}
+    if kv_scheme == "shared":
+        # Segments: fast (prefix-shared) loop → exact flat fallback for any
+        # overflow remainder → full S re-consolidation at the boundary
+        # (one gather sweep, amortized over the segment). F never grows —
+        # only S's read width rides the phase ladder.
+        seg_bounds = [min(pb, max_len) for pb in phase_bounds] + [max_len]
+        final = state  # placeholder (loop always assigns)
+        for i, bound in enumerate(seg_bounds):
+            fast = run_loop(state, bound, "shared")
+            flat_state = fast._replace(cache=_strip_S(fast.cache))
+            flat_done = run_loop(flat_state, bound, "flat")
+            if i + 1 < len(seg_bounds):
+                ts_next = _ts_of(seg_bounds[i + 1])
+                anc3 = flat_done.anc.reshape(N, B, t_alloc)
+                eq = jnp.all(anc3 == anc3[:, :1], axis=1)  # (N, T)
+                valid = (jnp.arange(t_alloc)[None, :]
+                         < flat_done.cur_len)
+                pref = jnp.cumprod(
+                    (eq & valid).astype(jnp.int32), axis=1).sum(axis=1)
+                s_fill_new = jnp.minimum(pref, ts_next).astype(jnp.int32)
+                cache_S = _build_S(flat_done.cache, flat_done.anc,
+                                   s_fill_new, ts_next)
+                state = flat_done._replace(cache=cache_S,
+                                           s_fill=s_fill_new,
+                                           overflow=jnp.asarray(False))
+            else:
+                final = flat_done
+        phase_bounds = []  # the generic growth loop below must not run
     lane_mult = B if kv_scheme == "flat" else 1
     for i, pb in enumerate(phase_bounds):
         mid = run_loop(state, min(pb, max_len))
@@ -486,7 +643,8 @@ def beam_decode(
         else:
             anc_grown = mid.anc
         state = mid._replace(cache=grown, anc=anc_grown)
-    final = run_loop(state, max_len)
+    if kv_scheme != "shared":
+        final = run_loop(state, max_len)
 
     # windows with an underfull pool: back-fill from the best live beams
     # (reference finalize adds unfinished hypotheses when finished < beam)
@@ -581,9 +739,13 @@ def beam_decode_task(
     phases: tuple[int, ...] | None = None  # beam_decode default (128,)
     if raw_phases is not None:  # "" disables, "64,128" overrides
         phases = tuple(int(p) for p in raw_phases.split(",") if p.strip())
-    # self-KV scheme: flat (ancestry indirection) | perm (one-hot MXU
-    # physical reorder) | permg (gather reorder); see beam_decode.
+    # self-KV scheme: flat (ancestry indirection) | shared (cross-
+    # hypothesis prefix sharing) | perm/permg/permp/permi (physical
+    # reorders — all measured ≥2× slower, docs/performance.md r5 table).
     kv_scheme = os.environ.get("WTPU_BEAM_KV", "flat")
+    if kv_scheme == "shared" and config.self_kv_bits == 4:
+        kv_scheme = "flat"  # no s4 gather on this backend
+    window = int(os.environ.get("WTPU_BEAM_WIN", "64"))
 
     result = beam_decode(
         params, audio_states,
@@ -592,6 +754,7 @@ def beam_decode_task(
         config=config, filter_cfg=filter_cfg, sample_len=sample_len,
         sot_index=sot_index, no_speech_token=tokenizer.no_speech,
         beam_size=B, pool_size=P, phases=phases, kv_scheme=kv_scheme,
+        window=window,
     )
 
     tokens_np = np.asarray(result.tokens)

@@ -437,6 +437,8 @@ def decode_step(
     collect_cross_attn: bool = False,
     share_xkv_groups: int = 1,
     beam_ancestry: jnp.ndarray | None = None,
+    beam_s_fill: jnp.ndarray | None = None,
+    beam_window: int = 0,
 ):
     """Run the decoder on ``tokens`` starting at position ``pos``.
 
@@ -517,12 +519,33 @@ def decode_step(
                     "vsf": jax.lax.dynamic_update_slice_in_dim(
                         kv_cache[i]["vsf"], sblkv, jcol, axis=2),
                 }
-                new_cache.append(entry)
-                attn_out = attention_int8_beamflat(
-                    q * scale, entry["k8f"], entry["ksf"], entry["v8f"],
-                    entry["vsf"], beam_ancestry, pos, g,
-                    mxu=config.attn_mxu,
-                )
+                if "sk8" in kv_cache[i]:
+                    # PREFIX-SHARING scheme (decoding/beam.py kv_scheme=
+                    # "shared"): agreed positions < beam_s_fill are read
+                    # from the single-copy S buffers; only the divergent
+                    # ≤beam_window tail is read per-lane from F. S is
+                    # committed by the beam loop, passed through here.
+                    from whisper_mlx_tpu.ops.kv_quant import (
+                        attention_int8_shared,
+                    )
+
+                    for sk in ("sk8", "sks", "sv8", "svs"):
+                        entry[sk] = kv_cache[i][sk]
+                    new_cache.append(entry)
+                    attn_out = attention_int8_shared(
+                        q * scale, entry["sk8"], entry["sks"],
+                        entry["sv8"], entry["svs"],
+                        entry["k8f"], entry["ksf"], entry["v8f"],
+                        entry["vsf"], beam_ancestry, beam_s_fill, pos, g,
+                        beam_window, mxu=config.attn_mxu,
+                    )
+                else:
+                    new_cache.append(entry)
+                    attn_out = attention_int8_beamflat(
+                        q * scale, entry["k8f"], entry["ksf"], entry["v8f"],
+                        entry["vsf"], beam_ancestry, pos, g,
+                        mxu=config.attn_mxu,
+                    )
             else:
                 from whisper_mlx_tpu.ops.kv_quant import attention_fp_beamflat
 
@@ -537,10 +560,24 @@ def decode_step(
                     "vf": jax.lax.dynamic_update_slice_in_dim(
                         kv_cache[i]["vf"], blkv, jcol, axis=2),
                 }
-                new_cache.append(entry)
-                attn_out = attention_fp_beamflat(
-                    q, entry["kf"], entry["vf"], beam_ancestry, pos, g,
-                )
+                if "skf" in kv_cache[i]:
+                    from whisper_mlx_tpu.ops.kv_quant import (
+                        attention_fp_shared,
+                    )
+
+                    entry["skf"] = kv_cache[i]["skf"]
+                    entry["svf"] = kv_cache[i]["svf"]
+                    new_cache.append(entry)
+                    attn_out = attention_fp_shared(
+                        q, entry["skf"], entry["svf"], entry["kf"],
+                        entry["vf"], beam_ancestry, beam_s_fill, pos, g,
+                        beam_window,
+                    )
+                else:
+                    new_cache.append(entry)
+                    attn_out = attention_fp_beamflat(
+                        q, entry["kf"], entry["vf"], beam_ancestry, pos, g,
+                    )
         elif "kT" in kv_cache[i]:
             # TIME-MAJOR quantized self cache: contiguous plane writes +
             # elementwise-stream reads (ops/kv_quant.py attention_int8_tmajor

@@ -578,3 +578,194 @@ def attention_int8_kv(
     w = w * v_scale[..., 0][:, :, None, :]  # fold value scales
     out = jnp.einsum("bhqk,bhkd->bhqd", w, v8.astype(jnp.float32))
     return out.astype(q.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Cross-hypothesis self-KV PREFIX SHARING (beam kv_scheme="shared")
+# ---------------------------------------------------------------------------
+
+
+def _merge_two_block(oA, mA, lA, oB, mB, lB, dtype):
+    """Flash-style merge of two partial softmax-attention blocks.
+
+    Each part supplies (o_raw = Σ e^(s-m)·w·v, m = rowmax, l = Σ e^(s-m)).
+    Exact up to fp reassociation vs a single-pass softmax over the union.
+    All-masked parts arrive with m = -inf, l = 0 and merge away cleanly
+    (the union is never empty: the current position is always attendable).
+    """
+    mA_s = jnp.where(jnp.isfinite(mA), mA, jnp.float32(-1e30))
+    mB_s = jnp.where(jnp.isfinite(mB), mB, jnp.float32(-1e30))
+    m = jnp.maximum(mA_s, mB_s)
+    cA = jnp.exp(mA_s - m)
+    cB = jnp.exp(mB_s - m)
+    denom = lA * cA + lB * cB
+    out = (oA * cA[..., None] + oB * cB[..., None]) / denom[..., None]
+    return out.astype(dtype)
+
+
+def _shared_masks(ancestry, s_fill, pos, n, g, Ts, T, W):
+    """(mask_S, mask_W, t0): S mask (n, 1, Ts) over shared columns, window
+    mask (n, g, W·g) over the F slice starting at position t0 (n,)."""
+    t0 = jnp.minimum(s_fill, jnp.int32(max(T - W, 0)))
+    t_idx = jnp.arange(Ts)[None, :]
+    mask_S = t_idx < jnp.minimum(s_fill, jnp.int32(Ts))[:, None]  # (n, Ts)
+    anc3 = ancestry.reshape(n, g, T)
+    anc_w = jax.vmap(
+        lambda a, o: jax.lax.dynamic_slice(a, (0, o), (g, W))
+    )(anc3, t0)  # (n, g, W)
+    c = jnp.arange(W * g)
+    cw = c // g  # window-relative position
+    k_idx = (c % g).astype(ancestry.dtype)
+    tw = t0[:, None] + cw[None, :]  # (n, W·g) absolute position
+    own = (jnp.take_along_axis(
+        anc_w.reshape(n, g, W)[:, :, :],
+        jnp.broadcast_to(cw[None, None, :], (n, g, W * g)), axis=2)
+        == k_idx[None, None, :])  # (n, g, W·g)
+    valid = (tw >= s_fill[:, None]) & (tw <= pos)  # disjoint from mask_S
+    return mask_S[:, None, :], own & valid[:, None, :], t0
+
+
+def attention_int8_shared(
+    q: jnp.ndarray,       # (N·g, h, 1, d) — pre-scaled queries
+    sk8: jnp.ndarray,     # (n, h, d, Ts) int8 — SHARED prefix keys (1 copy)
+    sks: jnp.ndarray,     # (n, h, Ts, 1)
+    sv8: jnp.ndarray,     # (n, h, d, Ts)
+    svs: jnp.ndarray,     # (n, h, Ts, 1)
+    k8f: jnp.ndarray,     # (n, h, d, T·g) int8 — full lane-interleaved flat
+    ksf: jnp.ndarray,     # (n, h, T·g, 1)
+    v8f: jnp.ndarray,     # (n, h, d, T·g)
+    vsf: jnp.ndarray,     # (n, h, T·g, 1)
+    ancestry: jnp.ndarray,  # (N·g, T) int32
+    s_fill: jnp.ndarray,  # (n,) int32 — positions < s_fill live in S
+    pos: jnp.ndarray,     # scalar: current write position
+    groups: int,
+    window: int,          # W — static F read width (positions)
+    mxu: bool = False,
+) -> jnp.ndarray:
+    """Beam self-attention with cross-hypothesis PREFIX SHARING.
+
+    All live beams of a window agree on their ancestry below a
+    per-window depth ``s_fill`` that is ancestrally MONOTONE (children
+    inherit agreement), so those positions are attended over a
+    single-copy shared buffer S — read once per window instead of once
+    per lane — while only the last ≤``window`` divergent positions are
+    read from the flat per-lane cache F through a per-window
+    dynamic-slice. HBM per step drops from T·g columns to Ts + W·g.
+    Exact: the S columns are byte-copies of the agreed lane's F columns
+    and the two masked blocks partition the attendable set; the
+    flash-style merge is the same softmax sum (fp reassociation only).
+    """
+    NB, h, tq, d = q.shape
+    g = groups
+    n = NB // g
+    Ts = sk8.shape[3]
+    J = k8f.shape[3]
+    T = J // g
+    W = min(window, T)
+    mask_S, mask_W, t0 = _shared_masks(ancestry, s_fill, pos, n, g, Ts, T, W)
+
+    # per-window F slices (dynamic start, static W·g width)
+    def slc(a, o, width, axis):
+        start = [0] * a.ndim
+        start[axis] = o
+        sizes = list(a.shape)
+        sizes[axis] = width
+        return jax.lax.dynamic_slice(a, tuple(start), tuple(sizes))
+
+    kw = jax.vmap(lambda a, o: slc(a, o, W * g, 2))(k8f, t0 * g)
+    vw = jax.vmap(lambda a, o: slc(a, o, W * g, 2))(v8f, t0 * g)
+    ksw = jax.vmap(lambda a, o: slc(a, o, W * g, 1))(ksf[..., 0], t0 * g)
+    vsw = jax.vmap(lambda a, o: slc(a, o, W * g, 1))(vsf[..., 0], t0 * g)
+
+    if mxu and tq == 1:
+        q8, qs = _quantize_rows(q.astype(jnp.float32))
+        q4, qs4 = q8[:, :, 0].reshape(n, g, h, d), qs[:, :, 0].reshape(n, g, h, 1)
+        sS = (jnp.einsum("nbhd,nhdt->nbht", q4, _as_s8(sk8),
+                         preferred_element_type=jnp.int32).astype(jnp.float32)
+              * qs4 * sks[..., 0].astype(jnp.float32)[:, None])
+        sW = (jnp.einsum("nbhd,nhdj->nbhj", q4, _as_s8(kw),
+                         preferred_element_type=jnp.int32).astype(jnp.float32)
+              * qs4 * ksw.astype(jnp.float32)[:, None])
+    else:
+        q4 = q.astype(jnp.float32)[:, :, 0].reshape(n, g, h, d)
+        sS = jnp.einsum("nbhd,nhdt->nbht", q4, sk8.astype(jnp.float32))
+        sS = sS * sks[..., 0].astype(jnp.float32)[:, None]
+        sW = jnp.einsum("nbhd,nhdj->nbhj", q4, kw.astype(jnp.float32))
+        sW = sW * ksw.astype(jnp.float32)[:, None]
+    NEG = jnp.float32(-jnp.inf)
+    sS = jnp.where(mask_S[:, :, None, :], sS, NEG)  # (n, b, h, Ts)
+    sW = jnp.where(mask_W[:, :, None, :], sW, NEG)
+
+    mS = jnp.max(sS, axis=-1)
+    mW = jnp.max(sW, axis=-1)
+    eS = jnp.exp(sS - jnp.where(jnp.isfinite(mS), mS, 0.0)[..., None])
+    eS = jnp.where(mask_S[:, :, None, :], eS, 0.0)
+    eW = jnp.exp(sW - jnp.where(jnp.isfinite(mW), mW, 0.0)[..., None])
+    eW = jnp.where(mask_W[:, :, None, :], eW, 0.0)
+    lS = jnp.sum(eS, axis=-1)
+    lW = jnp.sum(eW, axis=-1)
+    wS = eS * svs[..., 0].astype(jnp.float32)[:, None, :, :]
+    wW = eW * vsw.astype(jnp.float32)[:, None, :, :]
+    if mxu and tq == 1:
+        w8S, wsS = _quantize_rows(wS)
+        oS = (jnp.einsum("nbht,nhdt->nbhd", w8S, _as_s8(sv8),
+                         preferred_element_type=jnp.int32).astype(jnp.float32)
+              * wsS)
+        w8W, wsW = _quantize_rows(wW)
+        oW = (jnp.einsum("nbhj,nhdj->nbhd", w8W, _as_s8(vw),
+                         preferred_element_type=jnp.int32).astype(jnp.float32)
+              * wsW)
+    else:
+        oS = jnp.einsum("nbht,nhdt->nbhd", wS, sv8.astype(jnp.float32))
+        oW = jnp.einsum("nbhj,nhdj->nbhd", wW, vw.astype(jnp.float32))
+    out = _merge_two_block(oS, mS, lS, oW, mW, lW, q.dtype)
+    return out.reshape(NB, h, tq, d)
+
+
+def attention_fp_shared(
+    q: jnp.ndarray,     # (N·g, h, 1, d) — RAW queries (scaled inside)
+    skf: jnp.ndarray,   # (n, h, Ts, d) — shared prefix keys, raw
+    svf: jnp.ndarray,   # (n, h, Ts, d)
+    kf: jnp.ndarray,    # (n, h, T·g, d) — lane-interleaved flat raw keys
+    vf: jnp.ndarray,    # (n, h, T·g, d)
+    ancestry: jnp.ndarray,
+    s_fill: jnp.ndarray,
+    pos: jnp.ndarray,
+    groups: int,
+    window: int,
+) -> jnp.ndarray:
+    """fp twin of :func:`attention_int8_shared` (parity/test mode)."""
+    NB, h, tq, d = q.shape
+    g = groups
+    n = NB // g
+    Ts = skf.shape[2]
+    J = kf.shape[2]
+    T = J // g
+    W = min(window, T)
+    scale = d ** -0.25
+    mask_S, mask_W, t0 = _shared_masks(ancestry, s_fill, pos, n, g, Ts, T, W)
+
+    kw = jax.vmap(lambda a, o: jax.lax.dynamic_slice(
+        a, (0, o, 0), (h, W * g, d)))(kf, t0 * g)
+    vw = jax.vmap(lambda a, o: jax.lax.dynamic_slice(
+        a, (0, o, 0), (h, W * g, d)))(vf, t0 * g)
+
+    q4 = (q * scale).astype(jnp.float32)[:, :, 0].reshape(n, g, h, d)
+    sS = jnp.einsum("nbhd,nhtd->nbht", q4,
+                    (skf * scale).astype(jnp.float32))
+    sW = jnp.einsum("nbhd,nhjd->nbhj", q4,
+                    (kw * scale).astype(jnp.float32))
+    NEG = jnp.float32(-jnp.inf)
+    sS = jnp.where(mask_S[:, :, None, :], sS, NEG)
+    sW = jnp.where(mask_W[:, :, None, :], sW, NEG)
+    mS = jnp.max(sS, axis=-1)
+    mW = jnp.max(sW, axis=-1)
+    eS = jnp.where(mask_S[:, :, None, :],
+                   jnp.exp(sS - jnp.where(jnp.isfinite(mS), mS, 0.0)[..., None]), 0.0)
+    eW = jnp.where(mask_W[:, :, None, :],
+                   jnp.exp(sW - jnp.where(jnp.isfinite(mW), mW, 0.0)[..., None]), 0.0)
+    lS, lW = jnp.sum(eS, axis=-1), jnp.sum(eW, axis=-1)
+    oS = jnp.einsum("nbht,nhtd->nbhd", eS, svf.astype(jnp.float32))
+    oW = jnp.einsum("nbhj,nhjd->nbhd", eW, vw.astype(jnp.float32))
+    out = _merge_two_block(oS, mS, lS, oW, mW, lW, q.dtype)
+    return out.reshape(NB, h, tq, d)
