@@ -111,7 +111,7 @@ def main():
             q.scales, q.biases, 4, 64)
         from whisper_mlx_tpu.ops.quant_a8 import a8_matmul, requant_a8
 
-        a8t = requant_a8(jnp.asarray(w.T, jnp.float32))  # (K, N) fp
+        a8t = requant_a8(jnp.asarray(w, jnp.float32))  # (N, K) fp
         variants = {
             "dense": lambda x: x @ w_bf,
             "prod": lambda x: quant_matmul_pallas(x, q),
