@@ -471,6 +471,34 @@ def test_prepare_a8_params_tree_and_dispatch():
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
 
 
+def test_prepare_a8_free_source_deletes_and_protects_tied():
+    """free_source=True frees each packed source buffer after conversion
+    (HBM peak = ~one tree, the 14B-on-16GiB requirement) but never frees
+    buffers shared with an embed-key tensor (tied word embeddings)."""
+    from whisper_mlx_tpu.ops.quant import QuantTensor, quantize
+    from whisper_mlx_tpu.ops.quant_a8 import A8Tensor, prepare_a8_params
+
+    rng = np.random.default_rng(5)
+    def qt(n, k):
+        w_q, s, b = quantize(rng.standard_normal((n, k)).astype(np.float32),
+                             bits=4, group_size=64)
+        return QuantTensor(jnp.asarray(w_q), jnp.asarray(s),
+                           jnp.asarray(b), 4, 64)
+
+    tied = qt(256, 128)
+    lin = qt(128, 128)
+    tree = {"embed": tied, "head": tied, "layers": [{"wq": lin}]}
+    out = prepare_a8_params(tree, tile_n=128, free_source=True)
+    assert isinstance(out["head"], A8Tensor)
+    assert isinstance(out["embed"], QuantTensor)
+    np.asarray(tied.w_q)  # tied source must survive
+    with pytest.raises(Exception):
+        np.asarray(lin.w_q)  # plain linear source must be freed
+    # the converted tensor is intact
+    assert np.asarray(out["layers"][0]["wq"].dequantize(jnp.float32)).shape \
+        == (128, 128)
+
+
 def test_a8_matmul_xla_lowering_contig(monkeypatch):
     """WTPU_A8_XLA=1 (pure-XLA dot_general) must work with the DEFAULT
     contig=True code layout — regression for the 3-D codes being fed to

@@ -41,6 +41,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -244,13 +245,22 @@ def a8_matmul(x: jnp.ndarray, at: A8Tensor, interpret: bool = False) -> jnp.ndar
 
 def prepare_a8_params(params, embed_keys: tuple = ("embed", "token_emb"),
                       tile_n: int = 512, depth: int = 4,
-                      max_n: int | None = None):
+                      max_n: int | None = None,
+                      free_source: bool | None = None):
     """EAGERLY re-quantize every QuantTensor linear in the tree to
     A8Tensor (per-channel int8, MXU layout). Embedding tables stay packed
     (row-gathered). ``max_n`` optionally keeps vocab-sized heads on the
     packed kernels (default: include them — the a8 kernel's VMEM
     footprint is (Mp, Np)·4 output + (1, Np) scales, which fits even at
-    N=152k, unlike the mbt kernel's (G, N) scale spread)."""
+    N=152k, unlike the mbt kernel's (G, N) scale spread).
+
+    ``free_source`` (env ``WTPU_A8_FREE_SRC=1``) deletes each packed
+    source buffer immediately after its A8Tensor is built, so conversion
+    peak HBM is ~one tree instead of two. Required for qwen2.5-14B on a
+    16 GiB chip (int4 7.7 GiB + int8 14.6 GiB both resident otherwise —
+    measured RESOURCE_EXHAUSTED, r5). The caller's original tree is
+    dead after this call when enabled — only use as
+    ``params = prepare_a8_params(params, free_source=True)``."""
     import os
 
     from whisper_mlx_tpu.ops.quant import QuantTensor
@@ -258,13 +268,45 @@ def prepare_a8_params(params, embed_keys: tuple = ("embed", "token_emb"),
     if max_n is None:
         mn = os.environ.get("WTPU_A8_MAX_N", "")
         max_n = int(mn) if mn else None
+    if free_source is None:
+        free_source = os.environ.get("WTPU_A8_FREE_SRC", "0") == "1"
+
+    # Buffers reachable under an embed key must survive even when a tied
+    # head shares the same QuantTensor (qwen tie_word_embeddings).
+    protected: set = set()
+    if free_source:
+        def scan(node, under_embed=False):
+            if isinstance(node, QuantTensor):
+                if under_embed:
+                    protected.update(
+                        id(x) for x in (node.w_q, node.scales, node.biases))
+            elif isinstance(node, dict):
+                for k, v in node.items():
+                    scan(v, under_embed or k in embed_keys)
+            elif isinstance(node, (list, tuple)):
+                for v in node:
+                    scan(v, under_embed)
+        scan(params)
 
     def walk(node):
         if isinstance(node, QuantTensor):
             n, _k = node.shape
             if max_n is not None and n > max_n:
                 return node
-            return requant_a8(node, tile_n=tile_n, depth=depth)
+            out = requant_a8(node, tile_n=tile_n, depth=depth)
+            if free_source:
+                # True sync = host fetch (block_until_ready acks at
+                # dispatch on the axon backend — CLAUDE.md), then free
+                # the packed source buffers before the next tensor.
+                np.asarray(out.scale[0, :1])
+                for leaf in (node.w_q, node.scales, node.biases):
+                    if id(leaf) in protected:
+                        continue
+                    try:
+                        leaf.delete()
+                    except Exception:
+                        pass  # non-deletable leaf (np array / traced)
+            return out
         if isinstance(node, dict):
             return {k: (v if k in embed_keys and isinstance(v, QuantTensor)
                         else walk(v))
