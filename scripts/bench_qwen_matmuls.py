@@ -85,6 +85,10 @@ def main():
             (3584, 37888, "gate_up"),
             (18944, 3584, "down"),
         ]
+        if os.environ.get("QB_HEAD", "0") == "1":
+            # vocab head — NOT in the per-layer total (once per step, not
+            # per layer); QB_SHAPES=head to isolate it
+            shapes.append((3584, 152064, "head"))
     only = os.environ.get("QB_SHAPES", "")
     if only:
         keep = set(only.split(","))
@@ -131,7 +135,8 @@ def main():
                 eff = (stream_mb * (2 if name in ("dense", "a8") else 1)
                        / us * 1e3)
                 line.append(f"{name}={us:7.1f}us {eff:5.0f}GB/s")
-                totals[name] = totals.get(name, 0.0) + us
+                if label != "head":  # head is per-step, not per-layer
+                    totals[name] = totals.get(name, 0.0) + us
             except Exception as e:
                 line.append(f"{name}=FAIL({type(e).__name__})")
         print("  ".join(line), flush=True)
