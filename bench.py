@@ -307,8 +307,14 @@ def main() -> None:
                     **({"unroll": os.environ["WTPU_DECODE_UNROLL"]}
                        if os.environ.get("WTPU_DECODE_UNROLL", "1") != "1"
                        else {}),
+                    # effective flag: decode() defaults beam+quantized-KV
+                    # runs to the integer-MXU lowering (decoding/task.py)
                     **({"attn_mxu": 1}
-                       if os.environ.get("WTPU_ATTN_MXU") == "1" else {}),
+                       if os.environ.get("WTPU_ATTN_MXU") == "1"
+                       or (beam and kv_bits in (4, 8) and self_kv in (4, 8)
+                           and os.environ.get("WTPU_BEAM_ATTN_MXU", "1")
+                           == "1")
+                       else {}),
                 }) + "\n")
         except OSError:
             pass

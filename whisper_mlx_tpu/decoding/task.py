@@ -212,6 +212,21 @@ def decode(
         from whisper_mlx_tpu.decoding.beam import beam_decode_task
 
         assert not defer, "defer is greedy-only"
+        # Integer-MXU attention dots default ON for beam over quantized
+        # caches: +4.8% on hardware at the serving beam config (103.6 vs
+        # 98.9 RTF/chip, bench_history r5) — opposite sign from greedy,
+        # where the same lowering measured -10% and stays opt-in. Quality
+        # bounds: docs/kv_quant_study.md (perturbation inside the shipped
+        # kv4/self8 band). Escape hatch: WTPU_BEAM_ATTN_MXU=0. fp beam
+        # caches have no integer lowering, hence the quantized-only gate.
+        import dataclasses as _dc
+        import os as _os
+
+        if (not config.attn_mxu
+                and config.kv_bits in (4, 8)
+                and config.self_kv_bits in (4, 8)
+                and _os.environ.get("WTPU_BEAM_ATTN_MXU", "1") == "1"):
+            config = _dc.replace(config, attn_mxu=True)
         return beam_decode_task(
             params, mel_or_states, tokenizer, config, options,
             states_precomputed=states_precomputed,
