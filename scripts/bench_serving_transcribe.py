@@ -42,8 +42,13 @@ import jax.numpy as jnp  # noqa: E402
 CONCURRENCY = int(os.environ.get("SERVE_CONCURRENCY", "7"))
 AUDIO_S = float(os.environ.get("SERVE_AUDIO_S", "120"))
 # comma list = batch buckets (runtime/batcher.py): the single-request leg
-# rides the small bucket, the concurrent leg the big one
-BATCH = tuple(int(p) for p in os.environ.get("SERVE_BATCH", "8,56").split(","))
+# rides the small bucket, the concurrent leg the big one. Intermediate
+# buckets (16/32, r5) right-size the TAIL batch of a burst: 36 clients =
+# 144 windows = 56+56+32 — without a 32 bucket the tail pads to 56 and
+# costs a full-batch execution, which is the whole 274-vs-315 ideal-math
+# dip between multiples of 14 clients.
+BATCH = tuple(int(p) for p in os.environ.get(
+    "SERVE_BATCH", "8,16,32,56").split(","))
 WAIT_MS = float(os.environ.get("SERVE_WAIT_MS", "250"))
 IDLE_GAP_MS = float(os.environ.get("SERVE_IDLE_GAP_MS", "25"))
 SAMPLE_LEN = int(os.environ.get("BENCH_SAMPLE_LEN", "224"))
@@ -124,14 +129,18 @@ async def run() -> None:
 
     timeout = aiohttp.ClientTimeout(total=3600)
     async with aiohttp.ClientSession(timeout=timeout) as session:
-        # warm-up: compile EVERY bucket executable (a lone request rides the
-        # small bucket; the concurrent burst rides the big one)
+        # warm-up: compile/load EVERY bucket executable the measured burst
+        # can touch, each exactly once — a burst of ceil(b/4) clients is b
+        # windows and rides bucket b. (The r4 full-concurrency warm burst
+        # re-executed the big bucket N/14 times through the relay's
+        # minutes-per-executable load path and timed out the c=60 point.)
         t0 = time.perf_counter()
-        await post_json(session, url, {"path": wav_path})
-        await asyncio.gather(*[
-            post_json(session, url, {"path": wav_path})
-            for _ in range(CONCURRENCY)
-        ])
+        await post_json(session, url, {"path": wav_path})  # smallest bucket
+        for b in BATCH[1:]:
+            await asyncio.gather(*[
+                post_json(session, url, {"path": wav_path})
+                for _ in range(max(1, -(-b // 4)))
+            ])
         warm_s = time.perf_counter() - t0
 
         # single-request serving rate

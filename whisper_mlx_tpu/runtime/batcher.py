@@ -207,33 +207,52 @@ class TranscriptionBatcher:
                 jobs = [await self._queue.get()]
                 # Fill-aware adaptive flush (r4 sweep showed fixed-deadline
                 # flushes go partial under arrival jitter: 278.5 @28 clients
-                # but 213-259 @36-60). Two regimes:
+                # but 213-259 @36-60). Three regimes:
                 # - device BUSY (a batch in flight): flushing a partial
                 #   batch buys nothing — it would only queue behind the
                 #   running one — so keep collecting until full fill or the
                 #   device frees up. Saturated load therefore always flushes
                 #   full, independent of jitter.
-                # - device IDLE: debounce — extend the wait by idle_gap_ms
-                #   after every arrival (flush when fill plateaus), bounded
-                #   by the max_wait_ms hard deadline for lone-window latency.
+                # - device IDLE, lone-request fill (fits the smallest
+                #   bucket): debounce — flush idle_gap_ms after the last
+                #   arrival. A single caller sees ~idle_gap latency, not the
+                #   hard deadline.
+                # - device IDLE, fill beyond the smallest bucket (a
+                #   concurrent burst is ramping): hold for the max_wait_ms
+                #   hard deadline — an idle_gap hiccup in the arrival stream
+                #   (e.g. the host serializing WAV reads) must not flush a
+                #   partial batch, which would cost every straggler a whole
+                #   extra batch execution (r5: the v1 plateau-break measured
+                #   258 @28 vs fixed-deadline's 278 for exactly this reason).
+                # After a busy wait the deadline is re-armed with a short
+                # grace window so post-batch stragglers still coalesce.
                 deadline = time.monotonic() + self.max_wait_ms / 1000.0
                 idle_gap = self.idle_gap_ms / 1000.0
+                was_busy = False
                 while len(jobs) < self.batch_size:
                     busy = pending is not None and not pending.done()
                     if busy:
                         timeout = 0.02  # poll tick; re-check device state
                     else:
-                        timeout = min(idle_gap, deadline - time.monotonic())
-                        if timeout <= 0 and self._queue.empty():
+                        if was_busy:  # device just freed: straggler grace
+                            deadline = max(
+                                deadline,
+                                time.monotonic() + 2 * idle_gap)
+                        remaining = deadline - time.monotonic()
+                        if remaining <= 0 and self._queue.empty():
                             break
-                        timeout = max(timeout, 0.001)
+                        timeout = max(min(idle_gap, remaining), 0.001)
+                    was_busy = busy
                     try:
                         jobs.append(await asyncio.wait_for(
                             self._queue.get(), timeout=timeout
                         ))
                     except asyncio.TimeoutError:
-                        if not busy:
-                            break  # fill plateaued while device idle
+                        if busy:
+                            continue
+                        if (len(jobs) <= self.buckets[0]
+                                or deadline - time.monotonic() <= 0):
+                            break  # lone-request plateau or hard deadline
                 finalize = await asyncio.to_thread(self._launch, jobs)
                 if pending is not None:
                     await pending

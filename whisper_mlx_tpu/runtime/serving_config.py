@@ -66,7 +66,11 @@ def serving_batch_buckets() -> tuple[int, ...]:
     import jax
 
     on_tpu = jax.default_backend() == "tpu"
-    raw = os.environ.get("WTPU_TRANSCRIBE_BATCH", "8,56" if on_tpu else "8")
+    # intermediate buckets right-size a burst's TAIL batch (r5: 144 queued
+    # windows flush as 56+56+32 instead of 56+56+56-padded — each bucket
+    # is one compiled executable, so the tail stops costing a full batch)
+    raw = os.environ.get(
+        "WTPU_TRANSCRIBE_BATCH", "8,16,32,56" if on_tpu else "8")
     try:
         buckets = tuple(sorted({int(p) for p in str(raw).split(",") if p.strip()}))
     except ValueError:
