@@ -403,6 +403,28 @@ def test_a8_matmul_integer_exact():
         np.testing.assert_allclose(got, ref, rtol=2e-5, atol=1e-5)
 
 
+def test_a8_requant_chunked_identical(monkeypatch):
+    """Row-chunked requant (WTPU_A8_CHUNK_ROWS, the 14B-head OOM fix) is
+    bit-identical to the whole-tensor conversion: per-channel scales are
+    row-local, so the N split cannot change any code or scale."""
+    from whisper_mlx_tpu.ops.quant import QuantTensor, quantize
+    from whisper_mlx_tpu.ops.quant_a8 import requant_a8
+
+    rng = np.random.default_rng(2)
+    n, k = 300, 256
+    w = rng.standard_normal((n, k)).astype(np.float32)
+    w_q, s, b = quantize(w, bits=4, group_size=64)
+    q = QuantTensor(jnp.asarray(w_q), jnp.asarray(s), jnp.asarray(b), 4, 64)
+    monkeypatch.setenv("WTPU_A8_CHUNK_ROWS", "0")
+    whole = requant_a8(q, tile_n=128, depth=2)
+    monkeypatch.setenv("WTPU_A8_CHUNK_ROWS", "64")  # ragged: 300 = 4×64+44
+    chunked = requant_a8(q, tile_n=128, depth=2)
+    np.testing.assert_array_equal(np.asarray(whole.codes),
+                                  np.asarray(chunked.codes))
+    np.testing.assert_array_equal(np.asarray(whole.scale),
+                                  np.asarray(chunked.scale))
+
+
 def test_a8_accuracy_vs_fp_dequant():
     """W8A8 error vs the exact int4-dequant matmul stays small: the int8
     re-quant grid is finer than the int4 grid it encodes, so the dominant

@@ -108,14 +108,42 @@ def requant_a8(q, tile_n: int = 512, depth: int = 4,
     artifact"; corrected, both layouts stream near the HBM rate, and
     contig stays the default for its per-call pad-free addressing.)
     """
+    def rows_to_a8(w):
+        amax = jnp.max(jnp.abs(w), axis=1)  # (rows,)
+        s = jnp.maximum(amax, 1e-12) / 127.0
+        c = jnp.clip(jnp.round(w / s[:, None]), -127, 127).astype(jnp.int8)
+        return c, s
+
+    import os as _os
+
+    chunk = int(_os.environ.get("WTPU_A8_CHUNK_ROWS", "16384"))
     if hasattr(q, "dequantize"):
-        w = q.dequantize(jnp.float32)  # (N, K)
+        n, k = q.shape
+        if chunk and n > chunk and hasattr(q, "w_q"):
+            # Row-chunked conversion: a whole-tensor dequantize of the 14B
+            # 152k×5120 head materializes ~9 GiB of unpack transients
+            # (shifted int32 + f32 values) — measured RESOURCE_EXHAUSTED
+            # on a 16 GiB chip (r5). Per-channel int8 scales are row-local,
+            # so chunking over N is exact. The host fetch per chunk is a
+            # true sync on the axon backend (block_until_ready acks at
+            # dispatch), letting each chunk's transients free before the
+            # next allocates.
+            parts_c, parts_s = [], []
+            for i in range(0, n, chunk):
+                sl = type(q)(q.w_q[i:i + chunk], q.scales[i:i + chunk],
+                             q.biases[i:i + chunk], q.bits, q.group_size)
+                c, s = rows_to_a8(sl.dequantize(jnp.float32))
+                np.asarray(s[:1])
+                parts_c.append(c)
+                parts_s.append(s)
+            codes = jnp.concatenate(parts_c, axis=0)
+            scale = jnp.concatenate(parts_s, axis=0)
+        else:
+            codes, scale = rows_to_a8(q.dequantize(jnp.float32))  # (N, K)
     else:  # raw array
         w = jnp.asarray(q, jnp.float32)
-    n, k = w.shape
-    amax = jnp.max(jnp.abs(w), axis=1)  # (N,)
-    scale = jnp.maximum(amax, 1e-12) / 127.0
-    codes = jnp.clip(jnp.round(w / scale[:, None]), -127, 127).astype(jnp.int8)
+        n, k = w.shape
+        codes, scale = rows_to_a8(w)
     np_ = _round_up(n, tile_n)
     codes_t = jnp.zeros((k, np_), jnp.int8).at[:, :n].set(codes.T)
     scale_t = jnp.zeros((1, np_), jnp.float32).at[0, :n].set(scale)
