@@ -425,6 +425,34 @@ def test_a8_requant_chunked_identical(monkeypatch):
                                   np.asarray(chunked.scale))
 
 
+def test_a8_skip_keys_mixed_tree(monkeypatch):
+    """WTPU_A8_SKIP=down keeps that linear on the packed int4 kernel while
+    the rest convert — the mixed-kernel policy from the r5 isolates (a8
+    loses on `down`'s K=18944 bandwidth-bound shape). The leaf under
+    {"down": {"w": ...}} must match by its LINEAR name, not the generic
+    "w" key."""
+    from whisper_mlx_tpu.ops.quant import QuantTensor, quantize
+    from whisper_mlx_tpu.ops.quant_a8 import A8Tensor, prepare_a8_params
+
+    rng = np.random.default_rng(3)
+
+    def qt(n, k):
+        w_q, s, b = quantize(rng.standard_normal((n, k)).astype(np.float32),
+                             bits=4, group_size=64)
+        return QuantTensor(jnp.asarray(w_q), jnp.asarray(s), jnp.asarray(b),
+                           4, 64)
+
+    tree = {"layers": [{"mlp": {"gate_up": {"w": qt(256, 128)},
+                                "down": {"w": qt(128, 256)}},
+                        "attn": {"qkv": {"w": qt(192, 128)}}}]}
+    monkeypatch.setenv("WTPU_A8_SKIP", "down")
+    out = prepare_a8_params(tree)
+    blk = out["layers"][0]
+    assert isinstance(blk["mlp"]["down"]["w"], QuantTensor)
+    assert isinstance(blk["mlp"]["gate_up"]["w"], A8Tensor)
+    assert isinstance(blk["attn"]["qkv"]["w"], A8Tensor)
+
+
 def test_a8_accuracy_vs_fp_dequant():
     """W8A8 error vs the exact int4-dequant matmul stays small: the int8
     re-quant grid is finer than the int4 grid it encodes, so the dominant

@@ -274,7 +274,8 @@ def a8_matmul(x: jnp.ndarray, at: A8Tensor, interpret: bool = False) -> jnp.ndar
 def prepare_a8_params(params, embed_keys: tuple = ("embed", "token_emb"),
                       tile_n: int = 512, depth: int = 4,
                       max_n: int | None = None,
-                      free_source: bool | None = None):
+                      free_source: bool | None = None,
+                      skip_keys: tuple | None = None):
     """EAGERLY re-quantize every QuantTensor linear in the tree to
     A8Tensor (per-channel int8, MXU layout). Embedding tables stay packed
     (row-gathered). ``max_n`` optionally keeps vocab-sized heads on the
@@ -298,6 +299,16 @@ def prepare_a8_params(params, embed_keys: tuple = ("embed", "token_emb"),
         max_n = int(mn) if mn else None
     if free_source is None:
         free_source = os.environ.get("WTPU_A8_FREE_SRC", "0") == "1"
+    if skip_keys is None:
+        # Mixed-kernel policy: linears named here stay on the packed int4
+        # kernels. Motivated by the r5 7B decode-shape isolates
+        # (scripts/bench_qwen_matmuls.py): `down` (K=18944, N=3584) runs
+        # 231.5 µs on a8 vs 144.4 µs on the mbt ring — int8 codes stream
+        # 2× the int4 bytes, and at that K the kernel is bandwidth-bound,
+        # so the MXU s8×s8 win doesn't cover the doubled stream (unlike
+        # qkv/o/gate_up, where a8 measures 2-4× faster).
+        sk = os.environ.get("WTPU_A8_SKIP", "")
+        skip_keys = tuple(p for p in sk.split(",") if p)
 
     # Buffers reachable under an embed key must survive even when a tied
     # head shares the same QuantTensor (qwen tie_word_embeddings).
@@ -316,8 +327,10 @@ def prepare_a8_params(params, embed_keys: tuple = ("embed", "token_emb"),
                     scan(v, under_embed)
         scan(params)
 
-    def walk(node):
+    def walk(node, key=None):
         if isinstance(node, QuantTensor):
+            if key in skip_keys:
+                return node
             n, _k = node.shape
             if max_n is not None and n > max_n:
                 return node
@@ -336,11 +349,13 @@ def prepare_a8_params(params, embed_keys: tuple = ("embed", "token_emb"),
                         pass  # non-deletable leaf (np array / traced)
             return out
         if isinstance(node, dict):
+            # generic leaf keys ("w"/"b") inherit the enclosing linear's
+            # name, so skip_keys matches ("down",) against {"down": {"w": QT}}
             return {k: (v if k in embed_keys and isinstance(v, QuantTensor)
-                        else walk(v))
+                        else walk(v, key if k in ("w", "b") else k))
                     for k, v in node.items()}
         if isinstance(node, (list, tuple)):
-            return type(node)(walk(v) for v in node)
+            return type(node)(walk(v, key) for v in node)
         return node
 
     return walk(params)
