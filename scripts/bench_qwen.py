@@ -208,6 +208,8 @@ def main():
             line[name] = True
     if os.environ.get("QB_A8", "0") == "1" and os.environ.get("WTPU_A8_MAX_N"):
         line["a8_max_n"] = int(os.environ["WTPU_A8_MAX_N"])
+    if os.environ.get("WTPU_A8_SKIP"):
+        line["a8_skip"] = os.environ["WTPU_A8_SKIP"]
     print(json.dumps(line))
     print(f"# model={model} batch={batch} quant={quant} steps={steps} "
           f"prompt={prompt} decode_best={best_d:.3f}s prefill_best={best_p:.3f}s "
